@@ -1,0 +1,141 @@
+"""CSPDarknet-P5 backbones, single- and dual-branch (RGB + disparity).
+
+Topology re-created from the reference descriptions
+(/root/reference/mmtrack/models/backbones/csp_darknet_disparity_v1.py:66-206
+and csp_darknet_disparity_v0.py): a Focus stem, four conv+CSP stages (SPPF in
+the last), with the V1 variant adding a parallel ``disp_stem``+``disp_stage1``
+whose stride-4 output is averaged with the RGB branch before the shared
+stages.  Written NHWC in Flax; all shapes static.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import ConvBNAct, CSPLayer, Focus, SPPFBottleneck, make_round, widen
+
+# P5 arch table: in_ch, out_ch, num_blocks, add_identity, use_spp
+P5_ARCH = [
+    (64, 128, 3, True, False),
+    (128, 256, 9, True, False),
+    (256, 512, 9, True, False),
+    (512, 1024, 3, False, True),
+]
+
+
+class _Stage(nn.Module):
+    """One backbone stage: stride-2 conv [+ SPPF] + CSP layer."""
+    out_channels: int
+    num_blocks: int
+    add_identity: bool
+    use_spp: bool
+    spp_kernel_sizes: Tuple[int, ...] = (5, 9, 13)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBNAct(self.out_channels, 3, strides=2, dtype=self.dtype,
+                      name='conv')(x, train)
+        if self.use_spp:
+            x = SPPFBottleneck(self.out_channels, self.spp_kernel_sizes,
+                               dtype=self.dtype, name='spp')(x, train)
+        x = CSPLayer(self.out_channels, self.num_blocks, self.add_identity,
+                     dtype=self.dtype, name='csp')(x, train)
+        return x
+
+
+class CSPDarknet(nn.Module):
+    """Single-branch YOLOX CSPDarknet-P5 (monocular config path)."""
+    deepen_factor: float = 0.33
+    widen_factor: float = 0.5
+    out_indices: Sequence[int] = (2, 3, 4)
+    spp_kernel_sizes: Tuple[int, ...] = (5, 9, 13)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if isinstance(x, dict):
+            x = x['img']
+        outs = []
+        x = Focus(widen(64, self.widen_factor), dtype=self.dtype,
+                  name='stem')(x, train)
+        if 0 in self.out_indices:
+            outs.append(x)
+        for i, (_, out_ch, n, ident, spp) in enumerate(P5_ARCH):
+            x = _Stage(widen(out_ch, self.widen_factor),
+                       make_round(n, self.deepen_factor), ident, spp,
+                       self.spp_kernel_sizes, dtype=self.dtype,
+                       name=f'stage{i + 1}')(x, train)
+            if i + 1 in self.out_indices:
+                outs.append(x)
+        return tuple(outs)
+
+
+class CSPDarknetDual(nn.Module):
+    """Two-branch CSPDarknet: separate stem+stage1 for RGB and disparity,
+    fused by averaging at stride 4, then shared stages 2-4.
+
+    Behavior of YOLOXCSPDarknet_Disparity_V1_MMYOLO.forward
+    (csp_darknet_disparity_v1.py:155-206). ``out_fd=True`` appends the
+    disparity stage-1 features (the completion-head tap).
+    """
+    deepen_factor: float = 0.33
+    widen_factor: float = 0.5
+    out_indices: Sequence[int] = (2, 3, 4)
+    out_fd: bool = False
+    spp_kernel_sizes: Tuple[int, ...] = (5, 9, 13)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: dict, train: bool = False):
+        img = x['img']
+        disp = x['disp_postp']
+        wf, df = self.widen_factor, self.deepen_factor
+
+        outs = []
+        o_rgb = Focus(widen(64, wf), dtype=self.dtype, name='stem')(img, train)
+        o_disp = Focus(widen(64, wf), dtype=self.dtype,
+                       name='disp_stem')(disp, train)
+
+        s1 = P5_ARCH[0]
+        o_rgb = _Stage(widen(s1[1], wf), make_round(s1[2], df), s1[3], s1[4],
+                       self.spp_kernel_sizes, dtype=self.dtype,
+                       name='stage1')(o_rgb, train)
+        o_disp = _Stage(widen(s1[1], wf), make_round(s1[2], df), s1[3], s1[4],
+                        self.spp_kernel_sizes, dtype=self.dtype,
+                        name='disp_stage1')(o_disp, train)
+
+        y = (o_rgb + o_disp) / 2.0
+        if 1 in self.out_indices:
+            outs.append(y)
+
+        for i in range(1, 4):
+            _, out_ch, n, ident, spp = P5_ARCH[i]
+            y = _Stage(widen(out_ch, wf), make_round(n, df), ident, spp,
+                       self.spp_kernel_sizes, dtype=self.dtype,
+                       name=f'stage{i + 1}')(y, train)
+            if i + 1 in self.out_indices:
+                outs.append(y)
+
+        if self.out_fd:
+            outs.append(o_disp)
+        return tuple(outs)
+
+
+class CSPDarknetConcat(nn.Module):
+    """V0 variant: RGB and disparity concatenated to a 6-channel input with a
+    single stem (csp_darknet_disparity_v0.py:17-140)."""
+    deepen_factor: float = 0.33
+    widen_factor: float = 0.5
+    out_indices: Sequence[int] = (2, 3, 4)
+    spp_kernel_sizes: Tuple[int, ...] = (5, 9, 13)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: dict, train: bool = False):
+        img = jnp.concatenate([x['img'], x['disp_postp']], axis=-1)
+        return CSPDarknet(self.deepen_factor, self.widen_factor,
+                          self.out_indices, self.spp_kernel_sizes,
+                          dtype=self.dtype, name='trunk')(img, train)

@@ -1,0 +1,151 @@
+"""Exact linear-assignment on device, with ``lap.lapjv`` cost-limit semantics.
+
+The reference tracker calls the C++ Jonker-Volgenant solver
+``lap.lapjv(dists, extend_cost=True, cost_limit=1 - match_iou_thr)``
+(``/root/reference/mmtrack/models/trackers/ocsort_tracker_disparity.py:260,312``).
+The ``lap`` wrapper realises the cost limit by embedding the K x N rectangular
+problem into a square (K+N) x (K+N) matrix::
+
+    [ C            limit/2 ]      (top-left: real costs,
+    [ limit/2      0       ]       dummies: limit/2, dummy-dummy: 0)
+
+and solving that square LAP exactly.  We reproduce the same embedding with two
+twists that make it fixed-shape for XLA: K and N are static maxima, and masked
+(inactive) rows / (invalid) columns are wired so they pair with dummies for
+free, which provably leaves the optimum of the active sub-problem unchanged.
+
+The square solver is the classic shortest-augmenting-path JV algorithm
+(potentials + Dijkstra), expressed with ``lax.while_loop`` over vectorised
+column relaxations.  In tracking workloads almost every augmenting path has
+length 1, so the inner loop exits after one or two iterations.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e4      # forbidden-pair cost; >> any reachable total assignment cost
+_INF = 1e18     # Dijkstra sentinel
+
+
+def solve_square_lap(cost: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact square LAP. Returns (row_to_col, col_to_row), both (S,) int32.
+
+    Shortest-augmenting-path Jonker-Volgenant with row/column potentials.
+    """
+    S = cost.shape[0]
+    cost = jnp.asarray(cost, jnp.float32)
+
+    def assign_row(carry, i):
+        u, v, col2row = carry
+
+        # --- first relaxation: from the new row i (virtual source column) ---
+        minv = cost[i] - u[i] - v
+        way = jnp.full((S,), -1, jnp.int32)       # predecessor col; -1 = row i
+        used = jnp.zeros((S,), jnp.bool_)
+        j1 = jnp.argmin(minv)
+        delta = minv[j1]
+        u = u.at[i].add(delta)
+        minv = minv - delta
+        j0 = j1.astype(jnp.int32)
+
+        # State: (u, v, minv, way, used, j0)
+        def cond(st):
+            u_, v_, minv_, way_, used_, j0_ = st
+            return col2row[j0_] != -1
+
+        def body(st):
+            u_, v_, minv_, way_, used_, j0_ = st
+            used_ = used_.at[j0_].set(True)
+            i0 = col2row[j0_]
+            cur = cost[i0] - u_[i0] - v_
+            improve = jnp.logical_and(jnp.logical_not(used_), cur < minv_)
+            minv_ = jnp.where(improve, cur, minv_)
+            way_ = jnp.where(improve, j0_, way_)
+            masked = jnp.where(used_, _INF, minv_)
+            j1_ = jnp.argmin(masked).astype(jnp.int32)
+            delta_ = masked[j1_]
+            u_ = u_.at[i].add(delta_)
+            owners = jnp.where(used_, col2row, 0)
+            u_ = u_.at[owners].add(jnp.where(used_, delta_, 0.0))
+            v_ = v_ - jnp.where(used_, delta_, 0.0)
+            minv_ = jnp.where(used_, minv_, minv_ - delta_)
+            return (u_, v_, minv_, way_, used_, j1_)
+
+        u, v, minv, way, used, j0 = jax.lax.while_loop(
+            cond, body, (u, v, minv, way, used, j0))
+
+        # --- augment along predecessor chain ---
+        def aug_cond(st):
+            _, j0_, done = st
+            return jnp.logical_not(done)
+
+        def aug_body(st):
+            c2r, j0_, _ = st
+            jprev = way[j0_]
+            new_row = jnp.where(jprev == -1, i, c2r[jnp.maximum(jprev, 0)])
+            c2r = c2r.at[j0_].set(new_row.astype(jnp.int32))
+            return (c2r, jnp.maximum(jprev, 0), jprev == -1)
+
+        col2row, _, _ = jax.lax.while_loop(
+            aug_cond, aug_body, (col2row, j0, jnp.asarray(False)))
+        return (u, v, col2row), None
+
+    u0 = jnp.zeros((S,), jnp.float32)
+    v0 = jnp.zeros((S,), jnp.float32)
+    c2r0 = jnp.full((S,), -1, jnp.int32)
+    (_, _, col2row), _ = jax.lax.scan(
+        assign_row, (u0, v0, c2r0), jnp.arange(S, dtype=jnp.int32))
+    row2col = jnp.full((S,), -1, jnp.int32).at[col2row].set(
+        jnp.arange(S, dtype=jnp.int32))
+    return row2col, col2row
+
+
+@partial(jax.jit, static_argnames=())
+def linear_assignment_with_limit(
+        cost: jnp.ndarray, row_mask: jnp.ndarray, col_mask: jnp.ndarray,
+        cost_limit: jnp.ndarray | float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked rectangular LAP with ``lap.lapjv`` cost-limit semantics.
+
+    Args:
+        cost: (K, N) float cost matrix (entries for masked rows/cols ignored).
+        row_mask: (K,) bool — active rows.
+        col_mask: (N,) bool — valid columns.
+        cost_limit: scalar; pairs are only worth matching if globally cheaper
+            than leaving both unmatched at ``cost_limit/2`` each.
+
+    Returns:
+        (row_assign, col_assign): (K,) and (N,) int32; ``row_assign[i]`` is the
+        matched column of row i or -1, ``col_assign[j]`` likewise. Masked
+        rows/columns are always -1.
+    """
+    K, N = cost.shape
+    S = K + N
+    limit_half = jnp.float32(cost_limit) / 2.0
+
+    real = jnp.where(row_mask[:, None] & col_mask[None, :],
+                     cost.astype(jnp.float32), _BIG)
+    top_right = jnp.where(row_mask[:, None], limit_half, 0.0) * jnp.ones(
+        (K, K), jnp.float32)
+    bottom_left = jnp.where(col_mask[None, :], limit_half, 0.0) * jnp.ones(
+        (N, N), jnp.float32)
+    bottom_right = jnp.zeros((N, K), jnp.float32)
+    ext = jnp.block([[real, top_right], [bottom_left, bottom_right]])
+
+    row2col, col2row = solve_square_lap(ext)
+
+    row_assign = jnp.where(
+        row_mask & (row2col[:K] < N), row2col[:K], -1)
+    col_assign = jnp.where(
+        col_mask & (col2row[:N] < K), col2row[:N], -1)
+    # A row matched to an invalid column (shouldn't happen: BIG) -> -1 guard.
+    row_assign = jnp.where(
+        (row_assign >= 0) & col_mask[jnp.clip(row_assign, 0, N - 1)],
+        row_assign, -1)
+    col_assign = jnp.where(
+        (col_assign >= 0) & row_mask[jnp.clip(col_assign, 0, K - 1)],
+        col_assign, -1)
+    return row_assign, col_assign

@@ -1,0 +1,100 @@
+"""Fixed-shape greedy NMS for XLA.
+
+Replaces the mmcv CUDA ``batched_nms`` the reference relies on
+(SURVEY.md section 2.9).  Exact greedy semantics: candidates sorted by score;
+each pick suppresses lower-scored boxes with IoU > threshold — implemented as
+an iterative argmax/suppress loop (``lax.while_loop`` with a static pick cap)
+so the whole detector post-processing stays inside one jitted program.
+
+Class-aware behavior uses the usual coordinate-offset trick so a single IoU
+pass serves all classes.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..structures.bbox import bbox_iou_matrix
+
+
+class NMSResult(NamedTuple):
+    boxes: jnp.ndarray    # (max_out, 4)
+    scores: jnp.ndarray   # (max_out,)
+    labels: jnp.ndarray   # (max_out,) int32
+    valid: jnp.ndarray    # (max_out,) bool
+
+
+@partial(jax.jit, static_argnames=('pre_nms_top_k', 'max_out'))
+def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, labels: jnp.ndarray,
+                iou_threshold: float, score_threshold: float = 0.0,
+                pre_nms_top_k: int = 2048, max_out: int = 300) -> NMSResult:
+    """Greedy class-aware NMS with static shapes.
+
+    Args:
+        boxes: (A, 4) xyxy.
+        scores: (A,) confidence.
+        labels: (A,) int class ids.
+        iou_threshold: suppress IoU strictly greater than this (torchvision
+            semantics: keep if iou <= thr).
+        score_threshold: candidates at or below are dropped up front.
+        pre_nms_top_k: static candidate cap (sorted by score).
+        max_out: static output slots.
+    """
+    a = boxes.shape[0]
+    k = min(pre_nms_top_k, a)
+    valid = scores > score_threshold
+    neg_inf = jnp.float32(-jnp.inf)
+    masked_scores = jnp.where(valid, scores, neg_inf)
+
+    top_scores, top_idx = jax.lax.top_k(masked_scores, k)
+    top_boxes = boxes[top_idx]
+    top_labels = labels[top_idx]
+
+    # Offset boxes per class so cross-class IoU is 0.
+    span = (jnp.max(jnp.where(jnp.isfinite(top_boxes), top_boxes, 0.0)) + 1.0)
+    offs = top_labels.astype(jnp.float32)[:, None] * span
+    iou = bbox_iou_matrix(top_boxes + offs, top_boxes + offs)  # (k, k)
+
+    def cond(state):
+        _, _, live_scores, n_out = state
+        return jnp.logical_and(n_out < max_out,
+                               jnp.max(live_scores) > neg_inf)
+
+    def body(state):
+        keep_idx, keep_mask, live_scores, n_out = state
+        j = jnp.argmax(live_scores)
+        keep_idx = keep_idx.at[n_out].set(j.astype(jnp.int32))
+        keep_mask = keep_mask.at[n_out].set(True)
+        suppress = iou[j] > iou_threshold
+        live_scores = jnp.where(suppress, neg_inf, live_scores)
+        live_scores = live_scores.at[j].set(neg_inf)
+        return keep_idx, keep_mask, live_scores, n_out + 1
+
+    keep_idx0 = jnp.zeros((max_out,), jnp.int32)
+    keep_mask0 = jnp.zeros((max_out,), jnp.bool_)
+    keep_idx, keep_mask, _, _ = jax.lax.while_loop(
+        cond, body, (keep_idx0, keep_mask0, top_scores, jnp.int32(0)))
+
+    out_boxes = jnp.where(keep_mask[:, None], top_boxes[keep_idx], 0.0)
+    out_scores = jnp.where(keep_mask, top_scores[keep_idx], 0.0)
+    out_labels = jnp.where(keep_mask, top_labels[keep_idx], 0)
+    return NMSResult(out_boxes, out_scores,
+                     out_labels.astype(jnp.int32), keep_mask)
+
+
+def multiclass_candidates(boxes: jnp.ndarray, scores: jnp.ndarray,
+                          score_threshold: float
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Expand (A, C) scores to multi-label candidates (A*C,) as mmyolo's
+    ``multi_label=True`` path does: every (anchor, class) pair above the score
+    threshold is an independent NMS candidate."""
+    a, c = scores.shape
+    flat_scores = scores.reshape(-1)
+    flat_labels = jnp.tile(jnp.arange(c, dtype=jnp.int32), (a,))
+    flat_boxes = jnp.repeat(boxes, c, axis=0) if c > 1 else boxes
+    keep = flat_scores > score_threshold
+    flat_scores = jnp.where(keep, flat_scores, 0.0)
+    return flat_boxes, flat_scores, flat_labels
