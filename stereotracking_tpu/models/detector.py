@@ -1,0 +1,83 @@
+"""YOLOX detector assembly: backbone + PAFPN + head + fused postprocess.
+
+The reference's ``YOLODetector_Disparity_V1`` (detector config:
+/root/reference/configs/stereo_tracking/ocsort/yolox_s_mmyolo_mot_airdrone_disp.py:37-47)
+becomes a single Flax module whose ``predict`` path — decode, score filter,
+class-aware NMS, rescale — is one jitted function (the reference bounces
+through mmcv CUDA NMS here; SURVEY.md section 2.9).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.nms import NMSResult, batched_nms, multiclass_candidates
+from .csp_darknet import CSPDarknet, CSPDarknetConcat, CSPDarknetDual
+from .pafpn import YOLOXPAFPN
+from .yolox_head import YOLOXHeadModule, decode_predictions
+
+
+class DetectorConfig(NamedTuple):
+    """Static detector hyperparameters (YOLOX-S canonical values)."""
+    num_classes: int = 1
+    deepen_factor: float = 0.33
+    widen_factor: float = 0.5
+    strides: Tuple[int, ...] = (8, 16, 32)
+    backbone: str = 'dual'          # 'dual' | 'single' | 'concat'
+    # test_cfg (config :42 overriding _base_: score 0.01, nms 0.5, top 300)
+    score_thr: float = 0.01
+    nms_iou_thr: float = 0.5
+    max_per_img: int = 300
+    pre_nms_top_k: int = 2048
+
+
+class YOLOXDetector(nn.Module):
+    """Backbone (+disparity branch) -> PAFPN -> decoupled head."""
+    cfg: DetectorConfig = DetectorConfig()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        cfg = self.cfg
+        if cfg.backbone == 'dual':
+            bb = CSPDarknetDual(cfg.deepen_factor, cfg.widen_factor,
+                                dtype=self.dtype, name='backbone')
+        elif cfg.backbone == 'concat':
+            bb = CSPDarknetConcat(cfg.deepen_factor, cfg.widen_factor,
+                                  dtype=self.dtype, name='backbone')
+        else:
+            bb = CSPDarknet(cfg.deepen_factor, cfg.widen_factor,
+                            dtype=self.dtype, name='backbone')
+        feats = bb(inputs, train)
+        feats = YOLOXPAFPN(
+            deepen_factor=cfg.deepen_factor, widen_factor=cfg.widen_factor,
+            dtype=self.dtype, name='neck')(feats, train)
+        return YOLOXHeadModule(
+            num_classes=cfg.num_classes, widen_factor=cfg.widen_factor,
+            strides=cfg.strides, dtype=self.dtype,
+            name='bbox_head')(feats, train)
+
+
+def detector_predict(variables, module: YOLOXDetector, inputs: dict,
+                     scale_factor: Tuple[float, float] = (1.0, 1.0),
+                     ) -> NMSResult:
+    """Single-image predict: forward + decode + NMS + rescale.
+
+    ``scale_factor`` is (sf_x, sf_y) of the resize applied by the pipeline;
+    boxes are divided by it to return to original-image coordinates
+    (mmdet ``rescale=True`` semantics).
+    """
+    cfg = module.cfg
+    cls, reg, obj = module.apply(variables, inputs, train=False)
+    boxes, scores = decode_predictions(cls, reg, obj, cfg.strides)
+    boxes, scores = boxes[0], scores[0]          # batch of 1
+    fb, fs, fl = multiclass_candidates(boxes, scores, cfg.score_thr)
+    res = batched_nms(fb, fs, fl, cfg.nms_iou_thr, cfg.score_thr,
+                      cfg.pre_nms_top_k, cfg.max_per_img)
+    sf = jnp.asarray([scale_factor[0], scale_factor[1],
+                      scale_factor[0], scale_factor[1]], jnp.float32)
+    return res._replace(boxes=res.boxes / sf)

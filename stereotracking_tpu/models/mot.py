@@ -1,0 +1,141 @@
+"""Depth-guided OC-SORT MOT orchestrator: one jitted program per frame.
+
+TPU-native redesign of ``OCSORT_Disparity.predict``
+(/root/reference/mmtrack/models/mot/ocsort_disparity.py:50-134): the
+reference runs detector (GPU) -> per-box numpy depth loop (CPU) -> dict-based
+tracker (CPU, 4+ host syncs per frame); here detector forward, bbox decode,
+NMS, disparity->depth conversion, per-box depth pooling, depth^2 box
+inflation, the full association step and box un-inflation are a single
+XLA-compiled function of (params, track_state, frame tensors).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.depth import disp_to_depth, extract_box_depths
+from ..structures.bbox import scale_bbox
+from . import tracker as trk
+from .detector import DetectorConfig, YOLOXDetector, detector_predict
+
+
+class MOTConfig(NamedTuple):
+    """Static configuration of the full MOT model (canonical values from
+    configs/stereo_tracking/ocsort/yolox_s_mmyolo_mot_airdrone_disp.py)."""
+    detector: DetectorConfig = DetectorConfig()
+    tracker: trk.TrackerConfig = trk.TrackerConfig()
+    baseline: float = 0.25
+    focal_length: float = 640.0
+    depth_crop: int = 128
+
+
+class FrameResult(NamedTuple):
+    """Per-frame predictions (reference TrackDataSample fields)."""
+    # pred_det_instances (raw detector output, max_per_img slots)
+    det_bboxes: jnp.ndarray
+    det_scores: jnp.ndarray
+    det_labels: jnp.ndarray
+    det_valid: jnp.ndarray
+    # pred_track_instances (num_dets slots)
+    track_bboxes: jnp.ndarray     # un-inflated xyxy
+    track_scores: jnp.ndarray
+    track_labels: jnp.ndarray
+    track_scales: jnp.ndarray
+    track_depths: jnp.ndarray     # re-extracted on the un-inflated boxes
+    track_gt_depths: jnp.ndarray
+    track_ids: jnp.ndarray
+    track_valid: jnp.ndarray
+
+
+def predict_frame(variables, module: YOLOXDetector,
+                  state: trk.TrackState, inputs: dict,
+                  frame_id: jnp.ndarray, cfg: MOTConfig,
+                  scale_factor: Tuple[float, float] = (1.0, 1.0),
+                  ) -> Tuple[trk.TrackState, FrameResult]:
+    """Advance one frame. Pure; jit with static (module, cfg, scale_factor).
+
+    ``inputs``: dict of NHWC tensors from ``preprocess_frame`` ('img',
+    'disp_postp', 'disp_mask', optional 'depth_postp').
+    """
+    det = detector_predict(variables, module, inputs, scale_factor)
+
+    disp = inputs['disp_postp'][0, :, :, 0]
+    depth_map = disp_to_depth(disp, cfg.baseline, cfg.focal_length)
+
+    # per-detection depth + depth^2 scale, box inflation
+    # (ocsort_disparity.py:113-130). Depth is only observable downstream for
+    # detections that reach the tracker (score gates at 0.3/0.7), and the NMS
+    # output is a valid-prefix in score order == the reference's det order —
+    # so extracting for the first num_dets slots is exact and 5x cheaper
+    # than the reference's all-300 loop.
+    nd = cfg.tracker.num_dets
+    d_vals, scales = extract_box_depths(depth_map, det.boxes[:nd],
+                                        det.valid[:nd], cfg.depth_crop)
+    scaled_boxes = scale_bbox(det.boxes[:nd], scales)
+
+    dets = trk.Detections(
+        bboxes=scaled_boxes, scores=det.scores[:nd],
+        labels=det.labels[:nd], scales=scales, depths=d_vals,
+        valid=det.valid[:nd])
+    state, out = trk.step(state, dets, frame_id, cfg.tracker)
+
+    # un-inflate and re-extract depth for reporting
+    # (ocsort_disparity.py:95-104)
+    unscaled = scale_bbox(out.bboxes, 1.0 / out.scales)
+    track_depths, _ = extract_box_depths(depth_map, unscaled, out.valid,
+                                         cfg.depth_crop)
+    if 'depth_postp' in inputs:
+        gt_map = inputs['depth_postp'][0, :, :, 0]
+        gt_depths, _ = extract_box_depths(gt_map, unscaled, out.valid,
+                                          cfg.depth_crop)
+    else:
+        gt_depths = track_depths
+
+    result = FrameResult(
+        det_bboxes=det.boxes, det_scores=det.scores, det_labels=det.labels,
+        det_valid=det.valid,
+        track_bboxes=unscaled, track_scores=out.scores,
+        track_labels=out.labels, track_scales=out.scales,
+        track_depths=track_depths, track_gt_depths=gt_depths,
+        track_ids=out.ids, track_valid=out.valid)
+    return state, result
+
+
+class OCSORTDisparity:
+    """Host-side convenience wrapper: holds module/params/track state and
+    exposes the per-frame streaming API (reference ``inference_mot`` shape,
+    apis/inference.py:100-129)."""
+
+    def __init__(self, cfg: MOTConfig = MOTConfig(),
+                 variables=None, rng: Optional[jax.Array] = None,
+                 dtype: Any = jnp.float32,
+                 input_shape: Tuple[int, int] = (736, 1280)):
+        self.cfg = cfg
+        self.module = YOLOXDetector(cfg.detector, dtype=dtype)
+        if variables is None:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            h, w = input_shape
+            dummy = {
+                'img': jnp.zeros((1, h, w, 3), jnp.float32),
+                'disp_postp': jnp.zeros((1, h, w, 3), jnp.float32),
+                'disp_mask': jnp.zeros((1, h, w, 1), jnp.float32),
+            }
+            variables = self.module.init(rng, dummy, train=False)
+        self.variables = variables
+        self.state = trk.init_state(cfg.tracker)
+        self._step = jax.jit(
+            partial(predict_frame, module=self.module, cfg=self.cfg),
+            static_argnames=('scale_factor',))
+
+    def reset(self):
+        self.state = trk.init_state(self.cfg.tracker)
+
+    def track(self, inputs: dict, frame_id: int,
+              scale_factor: Tuple[float, float] = (1.0, 1.0)) -> FrameResult:
+        self.state, result = self._step(
+            self.variables, state=self.state, inputs=inputs,
+            frame_id=jnp.int32(frame_id), scale_factor=scale_factor)
+        return result

@@ -318,16 +318,24 @@ def _main_path(state: TrackState, dets: Detections, frame_id: jnp.ndarray,
     smooth_cov = jnp.where(recovered[:, None, None], state.saved_cov,
                            state.cov)
 
-    def smooth_body(i, mc):
-        m, c = mc
+    # replay only as many virtual steps as the longest recovery needs —
+    # on typical frames nothing was recovered and the loop body never runs
+    max_replay = jnp.max(jnp.where(recovered, unmatch_len, 0))
+
+    def smooth_cond(st):
+        i, _, _ = st
+        return i < max_replay
+
+    def smooth_body(st):
+        i, m, c = st
         virtual = state.last_bbox + (i + 1).astype(jnp.float32) * shift
         m2, c2 = kalman.update(m, c, bbox_xyxy_to_cxcyah(virtual))
         apply = recovered & (i < unmatch_len)
-        return (jnp.where(apply[:, None], m2, m),
+        return (i + 1, jnp.where(apply[:, None], m2, m),
                 jnp.where(apply[:, None, None], c2, c))
 
-    mean, cov = jax.lax.fori_loop(
-        0, cfg.num_frames_retain, smooth_body, (smooth_mean, smooth_cov))
+    _, mean, cov = jax.lax.while_loop(
+        smooth_cond, smooth_body, (jnp.int32(0), smooth_mean, smooth_cov))
 
     # 7. KF update + bookkeeping for matched tracks
     #    (kalman_tracker_base.py:65-75 + ocsort update_track lines 128-146)

@@ -104,44 +104,128 @@ def solve_square_lap(cost: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return row2col, col2row
 
 
+def _solve_rect_lap(cost: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """JV shortest-augmenting-path for a K x C problem (K <= C), every row
+    assigned to a distinct column, scanning only the K rows.
+
+    Scatter-free inner loop: the per-iteration potential updates are plain
+    vector selects plus two scalar writes, which keeps each Dijkstra step a
+    handful of fused VPU ops on TPU (the naive square embedding costs 2x the
+    sequential steps and a 128-wide scatter per step).
+    """
+    K, C = cost.shape
+    cost = jnp.asarray(cost, jnp.float32)
+
+    def assign_row(carry, i):
+        u, v, col2row, row2col = carry
+
+        minv = cost[i] - u[i] - v
+        way = jnp.full((C,), -1, jnp.int32)
+        used = jnp.zeros((C,), jnp.bool_)
+        row_used = jnp.zeros((K,), jnp.bool_)
+        j1 = jnp.argmin(minv)
+        delta = minv[j1]
+        u = u.at[i].add(delta)
+        minv = minv - delta
+        j0 = j1.astype(jnp.int32)
+
+        # State: (u, v, minv, way, used, row_used, j0)
+        def cond(st):
+            *_, j0_ = st
+            return col2row[j0_] != -1
+
+        def body(st):
+            u_, v_, minv_, way_, used_, row_used_, j0_ = st
+            used_ = used_.at[j0_].set(True)
+            i0 = col2row[j0_]
+            row_used_ = row_used_.at[i0].set(True)
+            cur = cost[i0] - u_[i0] - v_
+            improve = jnp.logical_and(jnp.logical_not(used_), cur < minv_)
+            minv_ = jnp.where(improve, cur, minv_)
+            way_ = jnp.where(improve, j0_, way_)
+            masked = jnp.where(used_, _INF, minv_)
+            j1_ = jnp.argmin(masked).astype(jnp.int32)
+            delta_ = masked[j1_]
+            u_ = jnp.where(row_used_, u_ + delta_, u_).at[i].add(delta_)
+            v_ = jnp.where(used_, v_ - delta_, v_)
+            minv_ = jnp.where(used_, minv_, minv_ - delta_)
+            return (u_, v_, minv_, way_, used_, row_used_, j1_)
+
+        u, v, minv, way, used, row_used, j0 = jax.lax.while_loop(
+            cond, body, (u, v, minv, way, used, row_used, j0))
+
+        def aug_cond(st):
+            _, _, j0_, done = st
+            return jnp.logical_not(done)
+
+        def aug_body(st):
+            c2r, r2c, j0_, _ = st
+            jprev = way[j0_]
+            new_row = jnp.where(jprev == -1, i,
+                                c2r[jnp.maximum(jprev, 0)]).astype(jnp.int32)
+            c2r = c2r.at[j0_].set(new_row)
+            r2c = r2c.at[new_row].set(j0_)
+            return (c2r, r2c, jnp.maximum(jprev, 0), jprev == -1)
+
+        col2row, row2col, _, _ = jax.lax.while_loop(
+            aug_cond, aug_body, (col2row, row2col, j0, jnp.asarray(False)))
+        return (u, v, col2row, row2col), None
+
+    u0 = jnp.zeros((K,), jnp.float32)
+    v0 = jnp.zeros((C,), jnp.float32)
+    c2r0 = jnp.full((C,), -1, jnp.int32)
+    r2c0 = jnp.full((K,), -1, jnp.int32)
+    (_, _, col2row, row2col), _ = jax.lax.scan(
+        assign_row, (u0, v0, c2r0, r2c0), jnp.arange(K, dtype=jnp.int32))
+    return row2col, col2row
+
+
 @partial(jax.jit, static_argnames=())
 def linear_assignment_with_limit(
         cost: jnp.ndarray, row_mask: jnp.ndarray, col_mask: jnp.ndarray,
         cost_limit: jnp.ndarray | float) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Masked rectangular LAP with ``lap.lapjv`` cost-limit semantics.
 
+    Equivalence: the lap embedding's objective is
+    ``sum_M c_ij + (K-|M|) L/2 + (N-|M|) L/2``; dropping constants this is
+    ``sum_M (c_ij - L)`` — i.e. every row picks either a real column at
+    shifted cost ``c - L`` or one of K interchangeable dummies at 0.  That is
+    a K x (N+K) rectangular LAP scanned over rows only; pairs with
+    ``c > L`` are never matched (they would raise the objective).
+
     Args:
         cost: (K, N) float cost matrix (entries for masked rows/cols ignored).
         row_mask: (K,) bool — active rows.
         col_mask: (N,) bool — valid columns.
-        cost_limit: scalar; pairs are only worth matching if globally cheaper
-            than leaving both unmatched at ``cost_limit/2`` each.
+        cost_limit: scalar; a pair is only worth matching when globally
+            cheaper than leaving row and column unmatched at ``limit/2`` each.
 
     Returns:
-        (row_assign, col_assign): (K,) and (N,) int32; ``row_assign[i]`` is the
-        matched column of row i or -1, ``col_assign[j]`` likewise. Masked
-        rows/columns are always -1.
+        (row_assign, col_assign): (K,) and (N,) int32 matched index or -1.
+        Masked rows/columns are always -1.
     """
     K, N = cost.shape
-    S = K + N
-    limit_half = jnp.float32(cost_limit) / 2.0
+    limit = jnp.float32(cost_limit)
 
     real = jnp.where(row_mask[:, None] & col_mask[None, :],
-                     cost.astype(jnp.float32), _BIG)
-    top_right = jnp.where(row_mask[:, None], limit_half, 0.0) * jnp.ones(
-        (K, K), jnp.float32)
-    bottom_left = jnp.where(col_mask[None, :], limit_half, 0.0) * jnp.ones(
-        (N, N), jnp.float32)
-    bottom_right = jnp.zeros((N, K), jnp.float32)
-    ext = jnp.block([[real, top_right], [bottom_left, bottom_right]])
+                     cost.astype(jnp.float32) - limit, _BIG)
+    ext = jnp.concatenate([real, jnp.zeros((K, K), jnp.float32)], axis=1)
 
-    row2col, col2row = solve_square_lap(ext)
+    import os
+    if jax.default_backend() != 'cpu' and \
+            os.environ.get('STTPU_PALLAS_JV', '0') == '1':
+        # single-kernel VMEM-resident solver: sequential Dijkstra steps cost
+        # nanoseconds instead of XLA loop-iteration overhead.  Gated off by
+        # default until the kernel is validated hang-free on real hardware
+        # (a runaway device loop wedges the whole TPU session).
+        from .pallas_jv import solve_rect_lap_pallas
+        row2col, col2row = solve_rect_lap_pallas(ext)
+    else:
+        row2col, col2row = _solve_rect_lap(ext)
 
-    row_assign = jnp.where(
-        row_mask & (row2col[:K] < N), row2col[:K], -1)
-    col_assign = jnp.where(
-        col_mask & (col2row[:N] < K), col2row[:N], -1)
-    # A row matched to an invalid column (shouldn't happen: BIG) -> -1 guard.
+    row_assign = jnp.where(row_mask & (row2col < N), row2col, -1)
+    col_assign = jnp.where(col_mask & (col2row[:N] >= 0), col2row[:N], -1)
+    # Guard: a row must never land on a masked/over-limit column via BIG.
     row_assign = jnp.where(
         (row_assign >= 0) & col_mask[jnp.clip(row_assign, 0, N - 1)],
         row_assign, -1)
