@@ -1,0 +1,83 @@
+"""Adapters from reference-style config dicts to the framework's configs.
+
+The canonical config keeps the reference's key names
+(/root/reference/configs/stereo_tracking/ocsort/yolox_s_mmyolo_mot_airdrone_disp.py)
+so users can port configs by changing only the builder import; these
+functions translate those dicts into the static NamedTuple configs the
+jitted pipeline consumes.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+from ..models.detector import DetectorConfig
+from ..models.mot import MOTConfig, OCSORTDisparity
+from ..models.tracker import TrackerConfig
+
+_BACKBONE_KINDS = {
+    'YOLOXCSPDarknet_Disparity_V1_MMYOLO': 'dual',
+    'YOLOXCSPDarknet_Disparity_V0_MMYOLO': 'concat',
+    'YOLOXCSPDarknet': 'single',
+    'CSPDarknet': 'single',
+}
+
+
+def _strip(kind: str) -> str:
+    return kind.split('.')[-1]
+
+
+def build_detector_config(det_cfg: Dict[str, Any],
+                          num_classes_default: int = 1) -> DetectorConfig:
+    backbone = det_cfg.get('backbone', {})
+    bb_kind = _BACKBONE_KINDS.get(_strip(backbone.get('type', '')), 'dual')
+    head = det_cfg.get('bbox_head', {})
+    head_module = head.get('head_module', {})
+    test_cfg = det_cfg.get('test_cfg', {})
+    nms = test_cfg.get('nms', {})
+    return DetectorConfig(
+        num_classes=head_module.get('num_classes', num_classes_default),
+        deepen_factor=backbone.get('deepen_factor', 0.33),
+        widen_factor=backbone.get('widen_factor', 0.5),
+        backbone=bb_kind,
+        score_thr=test_cfg.get('score_thr', 0.01),
+        nms_iou_thr=nms.get('iou_threshold', 0.65),
+        max_per_img=test_cfg.get('max_per_img', 300),
+    )
+
+
+def build_tracker_config(trk_cfg: Dict[str, Any]) -> TrackerConfig:
+    return TrackerConfig(
+        num_slots=trk_cfg.get('num_slots', 64),
+        num_dets=trk_cfg.get('num_dets', 64),
+        obj_score_thr=trk_cfg.get('obj_score_thr', 0.3),
+        init_track_thr=trk_cfg.get('init_track_thr', 0.7),
+        weight_iou_with_det_scores=trk_cfg.get(
+            'weight_iou_with_det_scores', True),
+        match_iou_thr=trk_cfg.get('match_iou_thr', 0.3),
+        num_tentatives=trk_cfg.get('num_tentatives', 3),
+        vel_consist_weight=trk_cfg.get('vel_consist_weight', 0.2),
+        vel_delta_t=trk_cfg.get('vel_delta_t', 3),
+        num_frames_retain=trk_cfg.get('num_frames_retain', 10),
+    )
+
+
+def build_mot_config(model_cfg: Dict[str, Any]) -> MOTConfig:
+    kind = _strip(model_cfg.get('type', 'OCSORT_Disparity'))
+    assert kind in ('OCSORT_Disparity', 'OCSORT'), kind
+    return MOTConfig(
+        detector=build_detector_config(model_cfg.get('detector', {})),
+        tracker=build_tracker_config(model_cfg.get('tracker', {})),
+        baseline=model_cfg.get('baseline', 0.25),
+        focal_length=model_cfg.get('focal_length', 640),
+    )
+
+
+def build_model(cfg: Dict[str, Any], variables=None,
+                input_shape: Tuple[int, int] = (736, 1280),
+                dtype=None) -> OCSORTDisparity:
+    """cfg: full config dict with a 'model' entry (reference layout)."""
+    import jax.numpy as jnp
+    mot = build_mot_config(cfg['model'])
+    return OCSORTDisparity(mot, variables=variables,
+                           dtype=dtype or jnp.float32,
+                           input_shape=input_shape)

@@ -1,0 +1,94 @@
+"""User-facing inference APIs.
+
+Equivalents of the reference's ``init_model``/``inference_mot``
+(/root/reference/mmtrack/apis/inference.py:22-129): build a model from a
+config file (+optional checkpoint), then feed it frames one by one; all
+device work happens in the single jitted per-frame program.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import load_config
+from ..models.mot import FrameResult, OCSORTDisparity
+from ..models.preprocessor import padded_shape, preprocess_frame
+from ..data import transforms as T
+from .builder import build_model
+
+
+def init_model(config: str | dict, checkpoint: Optional[str] = None,
+               input_shape: Tuple[int, int] = (736, 1280),
+               dtype=None) -> OCSORTDisparity:
+    """Config path/dict (+ optional orbax/msgpack checkpoint) -> model."""
+    cfg = load_config(config) if isinstance(config, str) else config
+    variables = None
+    if checkpoint is not None:
+        from ..train.checkpoint import load_checkpoint
+        variables = load_checkpoint(checkpoint)
+    model = build_model(cfg, variables=variables, input_shape=input_shape,
+                        dtype=dtype)
+    model.config_dict = cfg
+    return model
+
+
+def inference_mot(model: OCSORTDisparity, img: np.ndarray,
+                  disparity: np.ndarray, frame_id: int,
+                  depth: Optional[np.ndarray] = None,
+                  scale: Optional[Tuple[int, int]] = None) -> Dict:
+    """Track one frame.
+
+    Args:
+        model: from ``init_model``.
+        img: (H, W, 3) uint8 BGR left frame.
+        disparity: (H, W) uint16 SGBM /16 fixed-point disparity
+            (65535 = invalid) or float32 already-postprocessed disparity.
+        frame_id: 0-based; 0 resets the tracker.
+        depth: optional (H, W) float32 GT depth in meters.
+        scale: optional (h, w) keep-ratio resize target (reference
+            test-pipeline Resize); default: no resize.
+
+    Returns dict with 'det_instances' and 'track_instances' numpy arrays.
+    """
+    sample = dict(img=img)
+    if disparity.dtype == np.uint16:
+        sample.update(T.disparity_postprocess(disparity))
+    else:
+        sample['disp_postp'] = disparity.astype(np.float32)
+        sample['disp_mask'] = (disparity > 0).astype(np.float32)
+    if depth is not None:
+        sample['depth_postp'] = depth.astype(np.float32)
+
+    sf = (1.0, 1.0)
+    if scale is not None:
+        sample = T.resize_keep_ratio(sample, scale)
+        sf = sample['scale_factor']
+
+    h, w = sample['img'].shape[:2]
+    oh, ow = padded_shape(h, w)
+    disp_fixed = (sample['disp_postp'] * 16.0).astype(np.uint16)
+    disp_fixed = np.where(sample['disp_mask'] > 0, disp_fixed, 65535)
+    inputs = preprocess_frame(
+        jnp.asarray(sample['img']), jnp.asarray(disp_fixed.astype(np.uint16)),
+        oh, ow,
+        depth_raw=None if depth is None else
+        jnp.asarray(sample['depth_postp']))
+
+    res: FrameResult = model.track(inputs, frame_id, scale_factor=sf)
+    dv = np.asarray(res.det_valid)
+    tv = np.asarray(res.track_valid)
+    return dict(
+        det_instances=dict(
+            bboxes=np.asarray(res.det_bboxes)[dv],
+            scores=np.asarray(res.det_scores)[dv],
+            labels=np.asarray(res.det_labels)[dv]),
+        track_instances=dict(
+            bboxes=np.asarray(res.track_bboxes)[tv],
+            scores=np.asarray(res.track_scores)[tv],
+            labels=np.asarray(res.track_labels)[tv],
+            instances_id=np.asarray(res.track_ids)[tv],
+            depth=np.asarray(res.track_depths)[tv],
+            gt_depth=np.asarray(res.track_gt_depths)[tv],
+            scales=np.asarray(res.track_scales)[tv]))

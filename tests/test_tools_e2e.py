@@ -1,0 +1,85 @@
+"""End-to-end CLI flow tests on the synthetic on-disk dataset (CPU)."""
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from synthetic_dataset import write_airdrone_dataset
+
+REPO = Path(__file__).parent.parent
+
+
+def _env():
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['PYTHONPATH'] = f'{REPO}:{env.get("PYTHONPATH", "")}'
+    return env
+
+
+@pytest.fixture(scope='module')
+def disk_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp('e2e')
+    write_airdrone_dataset(str(root), n_videos=2, n_frames=4, h=96, w=128)
+    cfg = root / 'cfg.py'
+    cfg.write_text(f"""
+_base_ = ['{REPO}/configs/stereo_tracking/ocsort/yolox_s_airdrone_disp.py']
+data_root = '{root}/'
+img_scale = (96, 128)
+train_dataloader = dict(batch_size=2,
+                        dataset=dict(data_root='{root}/',
+                                     ann_file='annotations.json',
+                                     img_prefix=''))
+val_dataloader = dict(dataset=dict(data_root='{root}/',
+                                   ann_file='annotations.json',
+                                   img_prefix='',
+                                   depth_dir_name='depth'))
+test_dataloader = val_dataloader
+""")
+    return root, cfg
+
+
+def test_config_inheritance(disk_dataset):
+    from stereotracking_tpu.config import load_config
+    root, cfg_path = disk_dataset
+    cfg = load_config(str(cfg_path))
+    assert cfg['model']['type'] == 'OCSORT_Disparity'
+    assert cfg['model']['tracker']['match_iou_thr'] == 0.1
+    assert cfg['model']['detector']['test_cfg']['score_thr'] == 0.01
+    # _base_ chain reached yolox_s.py
+    assert cfg['model']['detector']['bbox_head']['head_module'][
+        'num_classes'] == 1
+
+
+def test_tools_test_runs_and_writes_metrics(disk_dataset, tmp_path):
+    root, cfg_path = disk_dataset
+    out = tmp_path / 'work'
+    r = subprocess.run(
+        [sys.executable, str(REPO / 'tools' / 'test.py'), str(cfg_path),
+         '--work-dir', str(out), '--results-csv',
+         str(tmp_path / 'results.csv'), '--dump-txt'],
+        env=_env(), capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    metrics = json.loads((out / 'metrics.json').read_text())
+    for k in ('MOTA', 'IDF1', 'HOTA', 'mAP', 'fps'):
+        assert k in metrics, metrics
+    assert (tmp_path / 'results.csv').exists()
+    assert (out / 'mot_txt').exists()
+
+
+def test_tools_train_one_epoch(disk_dataset, tmp_path):
+    root, cfg_path = disk_dataset
+    out = tmp_path / 'train'
+    r = subprocess.run(
+        [sys.executable, str(REPO / 'tools' / 'train.py'), str(cfg_path),
+         '--work-dir', str(out), '--max-epochs', '1',
+         '--steps-per-epoch', '2', '--batch-size', '2', '--max-gt', '8',
+         '--img-scale', '96', '128'],
+        env=_env(), capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert (out / 'detector_final.ckpt').exists()
+    # loss is finite in the logs
+    assert 'loss' in r.stdout

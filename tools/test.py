@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Tracking evaluation runner — the flagship flow (reference tools/test.py).
+
+Iterates the validation videos frame-by-frame (VideoSampler order), runs the
+jitted per-frame MOT program, streams GT + predictions into the MOT metrics
+(HOTA/CLEAR/Identity with the 0-80 m depth protocol) and COCO bbox mAP, and
+dumps the per-frame depth CSV.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description='Test a stereo tracker')
+    p.add_argument('config')
+    p.add_argument('--checkpoint', default=None)
+    p.add_argument('--work-dir', default='work_dirs/test')
+    p.add_argument('--depth-thr', type=float, default=80.0)
+    p.add_argument('--ignore-depth', action='store_true')
+    p.add_argument('--max-videos', type=int, default=None)
+    p.add_argument('--dump-txt', action='store_true')
+    p.add_argument('--results-csv', default=None)
+    p.add_argument('--bf16', action='store_true',
+                   help='bfloat16 detector compute')
+    p.add_argument('--cfg-options', nargs='*', default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from stereotracking_tpu.apis.builder import build_model
+    from stereotracking_tpu.apis.inference import init_model
+    from stereotracking_tpu.config import apply_overrides, load_config
+    from stereotracking_tpu.data import MOTDispDataset, PrefetchIterator
+    from stereotracking_tpu.evaluation import (CocoMAPEvaluator,
+                                               MOTDroneMetrics)
+    from stereotracking_tpu.models.preprocessor import (padded_shape,
+                                                        preprocess_frame)
+    from stereotracking_tpu.data import transforms as T
+    from stereotracking_tpu.utils.collect_results import ResultsCSV
+
+    cfg = apply_overrides(load_config(args.config), args.cfg_options)
+    ds_cfg = dict(cfg['test_dataloader']['dataset'])
+    ds_cfg.pop('type', None)
+    ds_cfg.pop('classes', None)
+    dataset = MOTDispDataset(
+        ann_file=os.path.join(ds_cfg.get('data_root', ''),
+                              ds_cfg['ann_file']),
+        data_root=ds_cfg.get('data_root', ''),
+        img_prefix=ds_cfg.get('img_prefix', ''),
+        depth_dir_name=ds_cfg.get('depth_dir_name'),
+        classes=tuple(cfg.get('classes', ())) or None)
+
+    # pick input shape from the first frame
+    first = dataset.frame_info(dataset.video_frames(dataset.videos()[0])[0])
+    ih, iw = first['height'], first['width']
+    scale = cfg.get('img_scale', (ih, iw))
+    f = T.rescale_factor(ih, iw, tuple(scale))
+    rh, rw = int(ih * f + 0.5), int(iw * f + 0.5)
+    oh, ow = padded_shape(rh, rw)
+
+    model = init_model(cfg, args.checkpoint, input_shape=(oh, ow),
+                       dtype=jnp.bfloat16 if args.bf16 else None)
+
+    mot_metric = MOTDroneMetrics(depth_thr=args.depth_thr,
+                                 ignore_depth=args.ignore_depth,
+                                 outfile_dir=os.path.join(args.work_dir,
+                                                          'mot_txt'))
+    coco_metric = CocoMAPEvaluator(num_classes=len(cfg.get('classes', ('x',))))
+    csv_dump = ResultsCSV(args.results_csv) if args.results_csv else None
+
+    videos = dataset.videos()
+    if args.max_videos:
+        videos = videos[:args.max_videos]
+
+    n_frames = 0
+    t_start = time.perf_counter()
+    for vid in videos:
+        vname = dataset.video_name(vid)
+        frame_ids = dataset.video_frames(vid)
+        loader = PrefetchIterator(frame_ids, dataset.load_frame,
+                                  num_workers=4)
+        for local_f, sample in enumerate(loader):
+            if f != 1.0:
+                sample = T.resize_keep_ratio(sample, tuple(scale))
+            inputs = preprocess_frame(
+                jnp.asarray(sample['img']),
+                jnp.asarray(np.where(sample['disp_mask'] > 0,
+                                     (sample['disp_postp'] * 16
+                                      ).astype(np.uint16), 65535)),
+                oh, ow,
+                depth_raw=jnp.asarray(sample['depth_postp'])
+                if 'depth_postp' in sample else None)
+            res = model.track(inputs, local_f,
+                              scale_factor=sample.get('scale_factor',
+                                                      (1.0, 1.0)))
+            n_frames += 1
+
+            tv = np.asarray(res.track_valid)
+            mot_metric.process_frame(
+                vname, local_f,
+                gt_ids=sample['gt_instance_ids'],
+                gt_bboxes=sample['gt_bboxes'],
+                gt_depths=sample['gt_locations'][:, 2]
+                if len(sample['gt_locations']) else None,
+                pred_ids=np.asarray(res.track_ids)[tv],
+                pred_bboxes=np.asarray(res.track_bboxes)[tv],
+                pred_depths=np.asarray(res.track_depths)[tv])
+            dv = np.asarray(res.det_valid)
+            coco_metric.add_gt(sample['img_id'], sample['gt_bboxes'],
+                               sample['gt_labels'])
+            coco_metric.add_dt(sample['img_id'],
+                               np.asarray(res.det_bboxes)[dv],
+                               np.asarray(res.det_scores)[dv],
+                               np.asarray(res.det_labels)[dv])
+            if csv_dump:
+                csv_dump.append_frame(local_f, res)
+        print(f'[test] video {vname}: {len(frame_ids)} frames done',
+              flush=True)
+
+    elapsed = time.perf_counter() - t_start
+    results = {}
+    results.update(mot_metric.evaluate())
+    results.update(coco_metric.evaluate())
+    results['fps'] = n_frames / elapsed
+    if args.dump_txt:
+        mot_metric.dump_txt()
+
+    os.makedirs(args.work_dir, exist_ok=True)
+    with open(os.path.join(args.work_dir, 'metrics.json'), 'w') as fjson:
+        json.dump({k: float(v) for k, v in results.items()}, fjson, indent=2)
+    for k, v in results.items():
+        print(f'{k}: {v:.4f}' if isinstance(v, float) else f'{k}: {v}')
+
+
+if __name__ == '__main__':
+    main()
