@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.depth import disp_to_depth, extract_box_depths
+from ..ops.gmc import GMCConfig, estimate_camera_motion, to_small_gray
 from ..structures.bbox import scale_bbox
 from . import tracker as trk
 from .detector import DetectorConfig, YOLOXDetector, detector_predict
@@ -30,6 +31,8 @@ class MOTConfig(NamedTuple):
     baseline: float = 0.25
     focal_length: float = 640.0
     depth_crop: int = 128
+    cmc: Optional[GMCConfig] = None   # camera-motion compensation (off in
+                                      # the canonical config, tracker cmc=None)
 
 
 class FrameResult(NamedTuple):
@@ -54,6 +57,7 @@ def predict_frame(variables, module: YOLOXDetector,
                   state: trk.TrackState, inputs: dict,
                   frame_id: jnp.ndarray, cfg: MOTConfig,
                   scale_factor: Tuple[float, float] = (1.0, 1.0),
+                  warp: Optional[jnp.ndarray] = None,
                   ) -> Tuple[trk.TrackState, FrameResult]:
     """Advance one frame. Pure; jit with static (module, cfg, scale_factor).
 
@@ -80,7 +84,7 @@ def predict_frame(variables, module: YOLOXDetector,
         bboxes=scaled_boxes, scores=det.scores[:nd],
         labels=det.labels[:nd], scales=scales, depths=d_vals,
         valid=det.valid[:nd])
-    state, out = trk.step(state, dets, frame_id, cfg.tracker)
+    state, out = trk.step(state, dets, frame_id, cfg.tracker, warp=warp)
 
     # un-inflate and re-extract depth for reporting
     # (ocsort_disparity.py:95-104)
@@ -129,13 +133,39 @@ class OCSORTDisparity:
         self._step = jax.jit(
             partial(predict_frame, module=self.module, cfg=self.cfg),
             static_argnames=('scale_factor',))
+        self._cmc_prev = None
+        if cfg.cmc is not None:
+            self._gray_fn = jax.jit(
+                lambda img: to_small_gray(img, cfg.cmc.size))
+
+            def _gated_warp(prev, curr, h, w, key):
+                H, ratio = estimate_camera_motion(prev, curr, h, w, key,
+                                                  cfg.cmc)
+                ident = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+                ok = ratio >= cfg.cmc.min_inlier_ratio
+                return jnp.where(ok, H, ident)
+
+            self._warp_fn = jax.jit(_gated_warp)
 
     def reset(self):
         self.state = trk.init_state(self.cfg.tracker)
+        self._cmc_prev = None
 
     def track(self, inputs: dict, frame_id: int,
               scale_factor: Tuple[float, float] = (1.0, 1.0)) -> FrameResult:
+        warp = None
+        if self.cfg.cmc is not None:
+            if frame_id == 0:
+                self._cmc_prev = None
+            curr = self._gray_fn(inputs['img'][0])
+            if self._cmc_prev is not None:
+                h, w = inputs['img'].shape[1:3]
+                warp = self._warp_fn(self._cmc_prev, curr,
+                                     jnp.float32(h), jnp.float32(w),
+                                     jax.random.PRNGKey(int(frame_id)))
+            self._cmc_prev = curr
         self.state, result = self._step(
             self.variables, state=self.state, inputs=inputs,
-            frame_id=jnp.int32(frame_id), scale_factor=scale_factor)
+            frame_id=jnp.int32(frame_id), scale_factor=scale_factor,
+            warp=warp)
         return result

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.assignment import linear_assignment_with_limit
+from ..ops.gmc import apply_warp_to_tracks
 from ..structures.bbox import (bbox_area, bbox_cxcyah_to_xyxy,
                                bbox_iou_matrix, bbox_xyxy_to_cxcyah)
 from . import kalman
@@ -213,8 +214,14 @@ def _assign(cost: jnp.ndarray, row_mask: jnp.ndarray, col_mask: jnp.ndarray,
 
 
 def step(state: TrackState, dets: Detections, frame_id: jnp.ndarray,
-         cfg: TrackerConfig) -> Tuple[TrackState, TrackerOutput]:
-    """Advance the tracker one frame. Pure function; jit/scan-safe."""
+         cfg: TrackerConfig, warp: jnp.ndarray | None = None
+         ) -> Tuple[TrackState, TrackerOutput]:
+    """Advance the tracker one frame. Pure function; jit/scan-safe.
+
+    ``warp``: optional (2, 3) camera-motion affine applied to confirmed
+    tracks' Kalman states right after prediction (reference track() lines
+    443-445; identity disables).
+    """
     frame_id = jnp.asarray(frame_id, jnp.int32)
     state = jax.lax.cond(
         frame_id == 0, lambda s: init_state(cfg), lambda s: s, state)
@@ -224,7 +231,7 @@ def step(state: TrackState, dets: Detections, frame_id: jnp.ndarray,
     return jax.lax.cond(
         empty | no_dets,
         lambda: _init_path(state, dets, frame_id, cfg),
-        lambda: _main_path(state, dets, frame_id, cfg))
+        lambda: _main_path(state, dets, frame_id, cfg, warp))
 
 
 # --------------------------------------------------------------------------
@@ -256,7 +263,8 @@ def _init_path(state: TrackState, dets: Detections, frame_id: jnp.ndarray,
 # --------------------------------------------------------------------------
 
 def _main_path(state: TrackState, dets: Detections, frame_id: jnp.ndarray,
-               cfg: TrackerConfig) -> Tuple[TrackState, TrackerOutput]:
+               cfg: TrackerConfig, warp: jnp.ndarray | None = None
+               ) -> Tuple[TrackState, TrackerOutput]:
     K, Nd = cfg.num_slots, dets.bboxes.shape[0]
 
     # 0. gate detections (track() lines 412-421)
@@ -274,6 +282,9 @@ def _main_path(state: TrackState, dets: Detections, frame_id: jnp.ndarray,
     pmean, pcov = kalman.predict(mean, state.cov)
     mean = jnp.where(confirmed[:, None], pmean, mean)
     cov = jnp.where(confirmed[:, None, None], pcov, state.cov)
+    if warp is not None:
+        # camera-motion compensation on the persistent Kalman states
+        mean, cov = apply_warp_to_tracks(mean, cov, warp, confirmed)
     state = state._replace(mean=mean, cov=cov, saved_mean=saved_mean,
                            saved_cov=saved_cov)
 

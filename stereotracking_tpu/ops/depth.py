@@ -92,17 +92,24 @@ def _value_at_ranks(bits: jnp.ndarray, valid: jnp.ndarray,
     return hi
 
 
-@partial(jax.jit, static_argnames=('crop',))
+@partial(jax.jit, static_argnames=('crop', 'mode'))
 def extract_box_depths(depth: jnp.ndarray, bboxes: jnp.ndarray,
                        valid: jnp.ndarray,
-                       crop: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Corner-guided truncated-mean depth per box.
+                       crop: int = 128,
+                       mode: str = 'corner_guided'
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-box robust depth (+ depth^2 scale).
 
     Args:
         depth: (H, W) positive metric depth map (float32; 0 = invalid).
         bboxes: (N, 4) xyxy in depth-map pixel coordinates (float).
         valid: (N,) bool.
         crop: static window size per box.
+        mode: 'corner_guided' (default; the reference's algorithm) or one of
+            the reference's ablations (mot/depth_extraction_comparison.py):
+            'truncated_mean' (mean of sorted[0.1n:0.9n]), 'mean', 'median'
+            (numpy median: midpoint of the two central ranks), 'center'
+            (raw pixel at the box center).
 
     Returns:
         (depths, scales): (N,) each. depth -1 and scale 1 for invalid boxes.
@@ -161,9 +168,22 @@ def extract_box_depths(depth: jnp.ndarray, bboxes: jnp.ndarray,
         votes = jnp.sum(corners > d_mid)
 
         nf = n.astype(jnp.float32)
-        w_start = jnp.minimum(1.0 - votes.astype(jnp.float32) / 4.0, 0.4) * nf
-        ws = w_start.astype(jnp.int32)                    # trunc like int()
-        we = (w_start + 0.6 * nf).astype(jnp.int32)
+        if mode == 'corner_guided':
+            w_start = jnp.minimum(
+                1.0 - votes.astype(jnp.float32) / 4.0, 0.4) * nf
+            ws = w_start.astype(jnp.int32)                # trunc like int()
+            we = (w_start + 0.6 * nf).astype(jnp.int32)
+        elif mode == 'truncated_mean':
+            ws = (0.1 * nf).astype(jnp.int32)
+            we = (0.9 * nf).astype(jnp.int32)
+        elif mode in ('mean', 'median'):
+            ws = jnp.int32(0)
+            we = n
+        elif mode == 'center':
+            ws = jnp.int32(0)
+            we = n
+        else:
+            raise ValueError(f'unknown depth extraction mode {mode!r}')
 
         # exact prefix sums (m smallest valid depths) for the three needed
         # ranks in ONE batched bisection + ONE masked-sum pass
@@ -189,9 +209,25 @@ def extract_box_depths(depth: jnp.ndarray, bboxes: jnp.ndarray,
         d = jnp.where(use_fb, fb_sum / fb_cnt,
                       seg_sum / jnp.maximum(seg_cnt, 1.0))
 
+        if mode == 'median':
+            lo_bits = _value_at_ranks(bits, ok,
+                                      jnp.maximum((n - 1) // 2, 0)[None])[0]
+            hi_bits = _value_at_ranks(bits, ok,
+                                      jnp.maximum(n // 2, 0)[None])[0]
+            d = (jax.lax.bitcast_convert_type(lo_bits, jnp.float32) +
+                 jax.lax.bitcast_convert_type(hi_bits, jnp.float32)) / 2.0
+        elif mode == 'center':
+            ccy = jnp.clip((y1 + y2) // 2, 0, h + crop)
+            ccx = jnp.clip((x1 + x2) // 2, 0, pw - 1)
+            d = jax.lax.dynamic_slice(depth_pad, (ccy, ccx), (1, 1))[0, 0]
+
         no_pixels = n < 1
-        d = jnp.where(skip | no_pixels, -1.0, d)
-        scale = jnp.where(skip | no_pixels, 1.0, jnp.clip(d * d, 1.0, 3.0))
+        if mode == 'center':
+            bad = skip | (d <= 0.0) | (d >= MAX_DEPTH)
+        else:
+            bad = skip | no_pixels
+        d = jnp.where(bad, -1.0, d)
+        scale = jnp.where(bad, 1.0, jnp.clip(d * d, 1.0, 3.0))
         return d, scale
 
     return jax.vmap(per_box)(bboxes, valid)
