@@ -157,3 +157,9 @@ class MOTDispDataset(CocoDispDataset):
         if 'depth_path' in info:
             sample['depth_postp'] = T.load_depth(info['depth_path'])
         return sample
+
+
+class MOTKittiDataset(MOTDispDataset):
+    """KITTI stereo tracking dataset (reference mot_kitti_dataset.py):
+    identical machinery; disparity paths derive from the ``img2`` naming."""
+    pass

@@ -279,3 +279,72 @@ def filter_annotations(sample: dict, min_wh: tuple = (1, 1)) -> dict:
     if 'gt_ignore' in sample:
         out['gt_ignore'] = sample['gt_ignore'][keep]
     return out
+
+
+def yolox_mosaic(samples: list, rng: np.random.RandomState,
+                 img_scale: tuple = (720, 1280),
+                 center_ratio_range: tuple = (0.5, 1.5),
+                 pad_val: float = 114.0) -> dict:
+    """Disparity-consistent 4-image Mosaic
+    (mix_img_transforms_mmyolo_disparity.py:16-158 capability): paste four
+    keep-ratio-resized samples around a jittered center on a 2x canvas,
+    keeping image/disparity/mask pixel-aligned and shifting boxes."""
+    assert len(samples) == 4
+    sh, sw = img_scale
+    ch, cw = sh * 2, sw * 2
+    canvas = np.full((ch, cw, 3), pad_val, np.float32)
+    canvas_d = np.zeros((ch, cw), np.float32)
+    canvas_m = np.zeros((ch, cw), np.float32)
+    cy = int(rng.uniform(*center_ratio_range) * sh)
+    cx = int(rng.uniform(*center_ratio_range) * sw)
+
+    all_boxes, all_labels, all_ignore = [], [], []
+    for pos, s in enumerate(samples):
+        h, w = s['img'].shape[:2]
+        ratio = min(sh / h, sw / w)
+        rw, rh = int(w * ratio), int(h * ratio)
+        img = _pil_resize(s['img'], rw, rh, nearest=False)
+        d = _pil_resize(s['disp_postp'], rw, rh, nearest=True)
+        m = _pil_resize(s['disp_mask'], rw, rh, nearest=True)
+
+        if pos == 0:      # top-left of center
+            x1, y1 = max(cx - rw, 0), max(cy - rh, 0)
+            x2, y2 = cx, cy
+        elif pos == 1:    # top-right
+            x1, y1 = cx, max(cy - rh, 0)
+            x2, y2 = min(cx + rw, cw), cy
+        elif pos == 2:    # bottom-left
+            x1, y1 = max(cx - rw, 0), cy
+            x2, y2 = cx, min(cy + rh, ch)
+        else:             # bottom-right
+            x1, y1 = cx, cy
+            x2, y2 = min(cx + rw, cw), min(cy + rh, ch)
+        pw_, ph_ = x2 - x1, y2 - y1
+        sx = rw - pw_ if pos in (0, 2) else 0
+        sy = rh - ph_ if pos in (0, 1) else 0
+        canvas[y1:y2, x1:x2] = img[sy:sy + ph_, sx:sx + pw_]
+        canvas_d[y1:y2, x1:x2] = d[sy:sy + ph_, sx:sx + pw_]
+        canvas_m[y1:y2, x1:x2] = m[sy:sy + ph_, sx:sx + pw_]
+
+        if len(s.get('gt_bboxes', [])):
+            b = s['gt_bboxes'] * ratio
+            b[:, 0::2] += x1 - sx
+            b[:, 1::2] += y1 - sy
+            b[:, 0::2] = np.clip(b[:, 0::2], 0, cw)
+            b[:, 1::2] = np.clip(b[:, 1::2], 0, ch)
+            all_boxes.append(b)
+            all_labels.append(s['gt_labels'])
+            all_ignore.append(s.get('gt_ignore',
+                                    np.zeros(len(s['gt_labels']), bool)))
+
+    out = dict(samples[0])
+    out['img'] = canvas.astype(np.uint8)
+    out['disp_postp'] = canvas_d
+    out['disp_mask'] = canvas_m
+    out['gt_bboxes'] = np.concatenate(all_boxes, 0) if all_boxes else \
+        np.zeros((0, 4), np.float32)
+    out['gt_labels'] = np.concatenate(all_labels, 0) if all_labels else \
+        np.zeros(0, np.int64)
+    out['gt_ignore'] = np.concatenate(all_ignore, 0) if all_ignore else \
+        np.zeros(0, bool)
+    return out

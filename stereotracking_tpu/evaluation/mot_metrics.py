@@ -106,19 +106,87 @@ class MOTDroneMetrics:
         return {k: out[k] for k in keys if k in out}
 
 
+class MOTChallengeMetrics(MOTDroneMetrics):
+    """MOT-Challenge evaluation: same HOTA/CLEAR/Identity machinery without
+    the drone depth filter (reference mot_challenge_metrics.py)."""
+
+    def __init__(self, iou_threshold: float = 0.5,
+                 outfile_dir: Optional[str] = None, **kwargs):
+        super().__init__(depth_thr=float('inf'), ignore_depth=True,
+                         iou_threshold=iou_threshold,
+                         outfile_dir=outfile_dir)
+
+
+class MOTKittiMetrics(MOTDroneMetrics):
+    """KITTI-format tracking evaluation (reference mot_kitti_metrics.py):
+    no depth filter; ``dump_kitti_txt`` writes the KITTI row layout."""
+
+    def __init__(self, iou_threshold: float = 0.5,
+                 outfile_dir: Optional[str] = None,
+                 class_names: Sequence[str] = ('Car', 'Pedestrian'),
+                 **kwargs):
+        super().__init__(depth_thr=float('inf'), ignore_depth=True,
+                         iou_threshold=iou_threshold,
+                         outfile_dir=outfile_dir)
+        self.class_names = class_names
+        self._pred_labels = defaultdict(dict)
+
+    def process_frame(self, video, frame, gt_ids, gt_bboxes, gt_depths,
+                      pred_ids, pred_bboxes, pred_depths,
+                      pred_labels=None):
+        super().process_frame(video, frame, gt_ids, gt_bboxes, gt_depths,
+                              pred_ids, pred_bboxes, pred_depths)
+        if pred_labels is not None:
+            self._pred_labels[video][frame] = np.asarray(pred_labels, int)
+
+    def dump_kitti_txt(self, out_dir: Optional[str] = None):
+        out_dir = out_dir or self.outfile_dir
+        assert out_dir is not None
+        os.makedirs(out_dir, exist_ok=True)
+        for video, frames in self._pred.items():
+            with open(os.path.join(out_dir, f'{video}.txt'), 'w') as f:
+                for frame in sorted(frames):
+                    ids, boxes = frames[frame]
+                    labels = self._pred_labels.get(video, {}).get(
+                        frame, np.zeros(len(ids), int))
+                    for i, b, l in zip(ids, boxes, labels):
+                        name = self.class_names[int(l) %
+                                                len(self.class_names)]
+                        f.write(f'{frame} {i} {name} 0 0 -10 '
+                                f'{b[0]:.2f} {b[1]:.2f} {b[2]:.2f} '
+                                f'{b[3]:.2f} -1 -1 -1 -1000 -1000 -1000 '
+                                f'-10 1\n')
+
+
 def gather_across_hosts(metric: MOTDroneMetrics) -> MOTDroneMetrics:
-    """Merge per-video buffers from all hosts (no-op single-host)."""
+    """Merge per-video buffers from all hosts (no-op single-host).
+
+    Each host evaluates disjoint videos (VideoSampler splits contiguously),
+    so buffers are pickled, padded to the global max length, all-gathered as
+    uint8 tensors and unpickled — the TPU-native analog of the reference's
+    ``all_gather_object`` (mot_drone_metrics.py:323-362).
+    """
+    import pickle
+
     import jax
+    import numpy as np
     if jax.process_count() == 1:
         return metric
     from jax.experimental import multihost_utils
-    payload = (dict(metric._gt), dict(metric._pred))
-    gathered = multihost_utils.process_allgather(payload)  # pytree stacked
+
+    blob = np.frombuffer(
+        pickle.dumps((dict(metric._gt), dict(metric._pred))), np.uint8)
+    local_len = np.asarray([blob.size], np.int64)
+    all_lens = np.asarray(multihost_utils.process_allgather(local_len))
+    max_len = int(all_lens.max())
+    padded = np.zeros(max_len, np.uint8)
+    padded[:blob.size] = blob
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
     merged = MOTDroneMetrics(metric.depth_thr, metric.ignore_depth,
                              metric.iou_threshold, metric.outfile_dir)
-    # process_allgather stacks leaves; simpler: each host contributes
-    # distinct videos, so update dicts in process order
-    for gt, pred in ([payload] if gathered is None else [payload]):
+    for host in range(gathered.shape[0]):
+        size = int(all_lens.reshape(-1)[host])
+        gt, pred = pickle.loads(gathered[host, :size].tobytes())
         merged._gt.update(gt)
         merged._pred.update(pred)
     return merged
