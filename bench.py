@@ -35,8 +35,35 @@ def make_frames(n, h, w, seed=0):
     return frames
 
 
+def tpu_responsive(timeout_s: float = 150.0) -> bool:
+    """Probe the accelerator in a subprocess: a wedged TPU session hangs
+    forever on the first op and cannot be interrupted in-process."""
+    import subprocess
+    import sys
+    code = ('import jax, jax.numpy as jnp;'
+            'print(float((jnp.ones((8,8)) @ jnp.ones((8,8)))[0,0]))')
+    try:
+        r = subprocess.run([sys.executable, '-c', code], timeout=timeout_s,
+                           capture_output=True, text=True)
+        return r.returncode == 0 and '8.0' in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    import os
     import jax
+
+    if jax.default_backend() not in ('cpu',) and not tpu_responsive():
+        # accelerator wedged: restart self on CPU so the driver still gets a
+        # benchmark line (flagged in the metric name)
+        if os.environ.get('_BENCH_CPU_FALLBACK') != '1':
+            import subprocess
+            import sys
+            env = dict(os.environ, JAX_PLATFORMS='cpu',
+                       _BENCH_CPU_FALLBACK='1')
+            os.execve(sys.executable, [sys.executable, __file__], env)
+
     import jax.numpy as jnp
 
     from stereotracking_tpu.models.mot import MOTConfig
@@ -79,8 +106,12 @@ def main():
     elapsed = time.perf_counter() - start
 
     fps = n_steps * n_streams / elapsed
+    import os as _os
+    name = f'stereo_pairs_per_sec_per_chip_{h}p_{n_streams}streams'
+    if _os.environ.get('_BENCH_CPU_FALLBACK') == '1':
+        name += '_TPU_WEDGED_cpu_fallback'
     out = {
-        'metric': f'stereo_pairs_per_sec_per_chip_{h}p_{n_streams}streams',
+        'metric': name,
         'value': round(fps, 2),
         'unit': 'frames/sec',
         'vs_baseline': round(fps / 60.0, 3),

@@ -104,14 +104,21 @@ def solve_square_lap(cost: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return row2col, col2row
 
 
-def _solve_rect_lap(cost: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """JV shortest-augmenting-path for a K x C problem (K <= C), every row
-    assigned to a distinct column, scanning only the K rows.
+def _solve_rect_lap(cost: jnp.ndarray,
+                    scan_mask: jnp.ndarray | None = None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """JV shortest-augmenting-path for a K x C problem (K <= C), every
+    scanned row assigned to a distinct column.
 
     Scatter-free inner loop: the per-iteration potential updates are plain
     vector selects plus two scalar writes, which keeps each Dijkstra step a
     handful of fused VPU ops on TPU (the naive square embedding costs 2x the
     sequential steps and a 128-wide scatter per step).
+
+    ``scan_mask`` (K,) selects which rows to assign; unscanned rows stay -1.
+    The sequential outer loop runs exactly popcount(scan_mask) iterations —
+    in tracking, after the trivial-component fast paths, that is usually a
+    handful of genuinely conflicted rows instead of all K slots.
     """
     K, C = cost.shape
     cost = jnp.asarray(cost, jnp.float32)
@@ -175,8 +182,26 @@ def _solve_rect_lap(cost: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     v0 = jnp.zeros((C,), jnp.float32)
     c2r0 = jnp.full((C,), -1, jnp.int32)
     r2c0 = jnp.full((K,), -1, jnp.int32)
-    (_, _, col2row, row2col), _ = jax.lax.scan(
-        assign_row, (u0, v0, c2r0, r2c0), jnp.arange(K, dtype=jnp.int32))
+
+    if scan_mask is None:
+        (_, _, col2row, row2col), _ = jax.lax.scan(
+            assign_row, (u0, v0, c2r0, r2c0), jnp.arange(K, dtype=jnp.int32))
+        return row2col, col2row
+
+    # while-loop over only the masked rows
+    def outer_cond(st):
+        carry, remaining = st
+        return jnp.any(remaining)
+
+    def outer_body(st):
+        carry, remaining = st
+        i = jnp.argmax(remaining).astype(jnp.int32)
+        carry, _ = assign_row(carry, i)
+        return carry, remaining.at[i].set(False)
+
+    (_, _, col2row, row2col), _ = jax.lax.while_loop(
+        outer_cond, outer_body,
+        ((u0, v0, c2r0, r2c0), jnp.asarray(scan_mask)))
     return row2col, col2row
 
 
@@ -206,9 +231,32 @@ def linear_assignment_with_limit(
     """
     K, N = cost.shape
     limit = jnp.float32(cost_limit)
+    costf = cost.astype(jnp.float32)
 
-    real = jnp.where(row_mask[:, None] & col_mask[None, :],
-                     cost.astype(jnp.float32) - limit, _BIG)
+    # --- trivially-optimal component fast paths -------------------------
+    # The objective decomposes over connected components of the sub-limit
+    # candidate graph. Two component shapes cover almost every tracking
+    # frame and resolve with pure vector ops:
+    #   (a) rows with no candidate column -> unmatched;
+    #   (b) "private-star" rows: every candidate column of row i is adjacent
+    #       to row i only -> match the cheapest candidate.
+    candidate = row_mask[:, None] & col_mask[None, :] & (costf < limit)
+    row_deg = jnp.sum(candidate, axis=1)
+    col_deg = jnp.sum(candidate, axis=0)
+    col_private = col_deg == 1
+    star = row_mask & (row_deg > 0) & jnp.all(
+        jnp.logical_not(candidate) | col_private[None, :], axis=1)
+    star_col = jnp.argmin(
+        jnp.where(candidate, costf, _INF), axis=1).astype(jnp.int32)
+
+    need_jv = row_mask & (row_deg > 0) & jnp.logical_not(star)
+
+    taken = jnp.zeros((N,), bool).at[
+        jnp.where(star, star_col, N)].set(True, mode='drop')
+    col_mask2 = col_mask & jnp.logical_not(taken)
+
+    real = jnp.where(need_jv[:, None] & col_mask2[None, :],
+                     costf - limit, _BIG)
     ext = jnp.concatenate([real, jnp.zeros((K, K), jnp.float32)], axis=1)
 
     import os
@@ -221,15 +269,16 @@ def linear_assignment_with_limit(
         from .pallas_jv import solve_rect_lap_pallas
         row2col, col2row = solve_rect_lap_pallas(ext)
     else:
-        row2col, col2row = _solve_rect_lap(ext)
+        row2col, col2row = _solve_rect_lap(ext, scan_mask=need_jv)
 
-    row_assign = jnp.where(row_mask & (row2col < N), row2col, -1)
-    col_assign = jnp.where(col_mask & (col2row[:N] >= 0), col2row[:N], -1)
+    row_assign = jnp.where(need_jv & (row2col < N) & (row2col >= 0),
+                           row2col, -1)
+    row_assign = jnp.where(star, star_col, row_assign)
     # Guard: a row must never land on a masked/over-limit column via BIG.
     row_assign = jnp.where(
         (row_assign >= 0) & col_mask[jnp.clip(row_assign, 0, N - 1)],
         row_assign, -1)
-    col_assign = jnp.where(
-        (col_assign >= 0) & row_mask[jnp.clip(col_assign, 0, K - 1)],
-        col_assign, -1)
+    col_assign = jnp.full((N,), -1, jnp.int32).at[
+        jnp.where(row_assign >= 0, row_assign, N)].set(
+        jnp.arange(K, dtype=jnp.int32), mode='drop')
     return row_assign, col_assign

@@ -116,3 +116,26 @@ def test_fuzz_many_random_instances():
             return cost[idx, row[idx]].sum() + \
                 ((k - matched) + (n - matched)) * limit / 2.0
         assert total(np.asarray(grow)) == pytest.approx(total(erow), abs=1e-3)
+
+
+def test_sparse_tracking_like_instances_hit_fast_paths():
+    """Near-diagonal IoU costs: most rows resolve via the star fast path;
+    result must still match the global lap optimum exactly."""
+    rng = np.random.RandomState(21)
+    for trial in range(20):
+        k = rng.randint(2, 20)
+        n = rng.randint(2, 20)
+        cost = np.ones((k, n), np.float32)  # no overlap anywhere
+        # each row overlaps its "own" detection strongly
+        for i in range(min(k, n)):
+            cost[i, i] = rng.uniform(0.0, 0.5)
+        # a few conflicted pairs sharing detections
+        for _ in range(rng.randint(0, 4)):
+            i, j = rng.randint(0, k), rng.randint(0, n)
+            cost[i, j] = rng.uniform(0.0, 0.9)
+        limit = 0.9
+        erow, ecol = lapjv_oracle(cost.astype(np.float64), limit)
+        grow, gcol = linear_assignment_with_limit(
+            cost, np.ones(k, bool), np.ones(n, bool), limit)
+        np.testing.assert_array_equal(np.asarray(grow), erow, f'trial {trial}')
+        np.testing.assert_array_equal(np.asarray(gcol), ecol, f'trial {trial}')
