@@ -5,3 +5,4 @@ from .coco_metric import CocoMAPEvaluator  # noqa: F401
 from .mot_metrics import (MOTChallengeMetrics, MOTDroneMetrics,  # noqa: F401
                           MOTKittiMetrics, gather_across_hosts)
 from .postprocess import interpolate_tracklets  # noqa: F401
+from .aflink import AFLinkModel, AppearanceFreeLink  # noqa: F401
