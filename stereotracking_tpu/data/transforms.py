@@ -348,3 +348,13 @@ def yolox_mosaic(samples: list, rng: np.random.RandomState,
     out['gt_ignore'] = np.concatenate(all_ignore, 0) if all_ignore else \
         np.zeros(0, bool)
     return out
+
+
+def disp_to_color_img(sample: dict) -> dict:
+    """Ablation: use the (3-channel-replicated) disparity as the RGB image
+    (reference Disp2ColorImg, loading_disparity.py:289-303)."""
+    out = dict(sample)
+    d = sample['disp_postp']
+    scaled = np.clip(d / max(float(d.max()), 1e-6) * 255.0, 0, 255)
+    out['img'] = np.repeat(scaled[..., None], 3, axis=-1).astype(np.uint8)
+    return out

@@ -26,6 +26,9 @@ def parse_args():
     p.add_argument('--ignore-depth', action='store_true')
     p.add_argument('--max-videos', type=int, default=None)
     p.add_argument('--dump-txt', action='store_true')
+    p.add_argument('--interpolate', action='store_true',
+                   help='tracklet gap interpolation before scoring '
+                        '(postprocess_tracklet_cfg capability)')
     p.add_argument('--results-csv', default=None)
     p.add_argument('--bf16', action='store_true',
                    help='bfloat16 detector compute')
@@ -129,6 +132,10 @@ def main():
               flush=True)
 
     elapsed = time.perf_counter() - t_start
+    if args.interpolate:
+        from stereotracking_tpu.evaluation import interpolate_tracklets
+        for v in list(mot_metric._pred):
+            mot_metric._pred[v] = interpolate_tracklets(mot_metric._pred[v])
     results = {}
     results.update(mot_metric.evaluate())
     results.update(coco_metric.evaluate())
