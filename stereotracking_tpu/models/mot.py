@@ -31,6 +31,7 @@ class MOTConfig(NamedTuple):
     baseline: float = 0.25
     focal_length: float = 640.0
     depth_crop: int = 128
+    depth_mode: str = 'corner_guided'  # or truncated_mean/mean/median/center
     cmc: Optional[GMCConfig] = None   # camera-motion compensation (off in
                                       # the canonical config, tracker cmc=None)
 
@@ -77,7 +78,8 @@ def predict_frame(variables, module: YOLOXDetector,
     # than the reference's all-300 loop.
     nd = cfg.tracker.num_dets
     d_vals, scales = extract_box_depths(depth_map, det.boxes[:nd],
-                                        det.valid[:nd], cfg.depth_crop)
+                                        det.valid[:nd], cfg.depth_crop,
+                                        cfg.depth_mode)
     scaled_boxes = scale_bbox(det.boxes[:nd], scales)
 
     dets = trk.Detections(
@@ -90,11 +92,11 @@ def predict_frame(variables, module: YOLOXDetector,
     # (ocsort_disparity.py:95-104)
     unscaled = scale_bbox(out.bboxes, 1.0 / out.scales)
     track_depths, _ = extract_box_depths(depth_map, unscaled, out.valid,
-                                         cfg.depth_crop)
+                                         cfg.depth_crop, cfg.depth_mode)
     if 'depth_postp' in inputs:
         gt_map = inputs['depth_postp'][0, :, :, 0]
         gt_depths, _ = extract_box_depths(gt_map, unscaled, out.valid,
-                                          cfg.depth_crop)
+                                          cfg.depth_crop, cfg.depth_mode)
     else:
         gt_depths = track_depths
 
@@ -169,3 +171,23 @@ class OCSORTDisparity:
             frame_id=jnp.int32(frame_id), scale_factor=scale_factor,
             warp=warp)
         return result
+
+
+def track_video(variables, module: YOLOXDetector, state: trk.TrackState,
+                frames: dict, frame_ids: jnp.ndarray, cfg: MOTConfig,
+                scale_factor: Tuple[float, float] = (1.0, 1.0),
+                ) -> Tuple[trk.TrackState, FrameResult]:
+    """Track a whole clip with ``lax.scan`` over frames in ONE program.
+
+    ``frames``: dict of (T, 1, H, W, C) stacked tensors; returns stacked
+    per-frame ``FrameResult``. Composes with vmap for multi-stream batches —
+    this is the zero-dispatch offline path (the reference iterates a python
+    loop with 4+ host syncs per frame)."""
+
+    def step_fn(st, xs):
+        inputs, fid = xs
+        st, res = predict_frame(variables, module, st, inputs, fid, cfg,
+                                scale_factor)
+        return st, res
+
+    return jax.lax.scan(step_fn, state, (frames, frame_ids))

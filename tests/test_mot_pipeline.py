@@ -70,3 +70,39 @@ def test_reset_clears_ids():
     model.track(inputs, 0)
     st = model.state
     assert int(np.asarray(st.num_tracks)) >= 0
+
+
+def test_track_video_scan_matches_per_frame_loop():
+    """Whole-clip lax.scan path produces identical results to the per-frame
+    streaming loop."""
+    import jax
+    from stereotracking_tpu.models.mot import track_video
+
+    seq = SyntheticSequence(seed=5, h=96, w=128)
+    oh, ow = padded_shape(96, 128)
+    model = OCSORTDisparity(SMALL, input_shape=(oh, ow))
+
+    per_frame = []
+    frames = []
+    for t in range(4):
+        img, disp, _ = seq.frame(t)
+        inputs = preprocess_frame(jnp.asarray(img), jnp.asarray(disp), oh, ow)
+        frames.append(inputs)
+        per_frame.append(model.track(inputs, t))
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+    state0 = trk.init_state(SMALL.tracker)
+    scan_fn = jax.jit(lambda v, s, f, ids: track_video(
+        v, model.module, s, f, ids, SMALL))
+    _, results = scan_fn(model.variables, state0, stacked,
+                         jnp.arange(4, dtype=jnp.int32))
+    for t in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(results.track_ids)[t],
+            np.asarray(per_frame[t].track_ids))
+        np.testing.assert_allclose(
+            np.asarray(results.track_bboxes)[t],
+            np.asarray(per_frame[t].track_bboxes), atol=1e-3)
+        np.testing.assert_array_equal(
+            np.asarray(results.track_valid)[t],
+            np.asarray(per_frame[t].track_valid))
