@@ -86,3 +86,17 @@ def test_completion_loss_runs_and_is_finite():
         variables['params'], variables['batch_stats'], module, batch,
         YOLOXLossConfig(), CompletionConfig(train_bbox=False))
     assert 'loss_bbox' not in losses2
+
+
+def test_reid_embedding_and_losses():
+    from stereotracking_tpu.models.reid import BaseReID, reid_losses
+    m = BaseReID(embed_dim=64, num_classes=5, widen_factor=0.25)
+    crops = jnp.asarray(
+        np.random.RandomState(0).rand(4, 64, 32, 3).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), crops, train=False)
+    emb, logits = m.apply(v, crops, train=False)
+    assert emb.shape == (4, 64) and logits.shape == (4, 5)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0,
+                               atol=1e-5)
+    losses = reid_losses(emb, logits, jnp.asarray([0, 0, 1, 2]))
+    assert np.isfinite(float(losses['loss']))
