@@ -52,18 +52,25 @@ def tpu_responsive(timeout_s: float = 150.0) -> bool:
 
 def main():
     import os
+
+    # Probe BEFORE this process initializes any backend: a subprocess probe
+    # issued after the parent claims the (single-client) TPU would queue
+    # behind it and always time out.
+    want_tpu = os.environ.get('JAX_PLATFORMS', 'cpu') not in ('cpu', '')
+    if want_tpu and os.environ.get('_BENCH_CPU_FALLBACK') != '1' \
+            and not tpu_responsive():
+        # accelerator wedged: restart on a clean CPU interpreter (axon
+        # registration skipped entirely) so the driver still gets a line
+        import sys
+        env = dict(os.environ, JAX_PLATFORMS='cpu', _BENCH_CPU_FALLBACK='1')
+        env.pop('PALLAS_AXON_POOL_IPS', None)
+        os.execve(sys.executable, [sys.executable, __file__], env)
+
     import jax
-
-    if jax.default_backend() not in ('cpu',) and not tpu_responsive():
-        # accelerator wedged: restart self on CPU so the driver still gets a
-        # benchmark line (flagged in the metric name)
-        if os.environ.get('_BENCH_CPU_FALLBACK') != '1':
-            import subprocess
-            import sys
-            env = dict(os.environ, JAX_PLATFORMS='cpu',
-                       _BENCH_CPU_FALLBACK='1')
-            os.execve(sys.executable, [sys.executable, __file__], env)
-
+    if os.environ.get('_BENCH_CPU_FALLBACK') == '1':
+        # env alone is not enough: jax may be pre-imported with the axon
+        # platform registered by sitecustomize
+        jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
 
     from stereotracking_tpu.models.mot import MOTConfig
@@ -74,7 +81,7 @@ def main():
     backend = jax.default_backend()
     on_accel = backend not in ('cpu',)
     h, w = (1080, 1920) if on_accel else (120, 160)
-    n_streams = 8 if on_accel else 2
+    n_streams = int(os.environ.get("BENCH_STREAMS", "8")) if on_accel else 2
     n_steps = 30 if on_accel else 3
     oh, ow = padded_shape(h, w)
 

@@ -30,7 +30,7 @@ class MOTConfig(NamedTuple):
     tracker: trk.TrackerConfig = trk.TrackerConfig()
     baseline: float = 0.25
     focal_length: float = 640.0
-    depth_crop: int = 128
+    depth_crop: int = 96
     depth_mode: str = 'corner_guided'  # or truncated_mean/mean/median/center
     cmc: Optional[GMCConfig] = None   # camera-motion compensation (off in
                                       # the canonical config, tracker cmc=None)

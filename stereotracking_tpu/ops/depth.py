@@ -152,11 +152,71 @@ def extract_box_depths(depth: jnp.ndarray, bboxes: jnp.ndarray,
         n = jnp.sum(ok, dtype=jnp.int32)
         bits = jax.lax.bitcast_convert_type(dvals, jnp.int32)
 
+        nf = n.astype(jnp.float32)
+        if mode == 'corner_guided':
+            # The corner vote can only yield three distinct rank windows
+            # (w_start in {0.4, 0.25, 0} * n), so the median AND every
+            # candidate window boundary resolve in ONE batched bisection —
+            # the sequential fori cost is paid once, not twice.
+            cand_ws = jnp.stack([(0.4 * nf).astype(jnp.int32),
+                                 (0.25 * nf).astype(jnp.int32),
+                                 jnp.int32(0)])
+            cand_we = jnp.stack([
+                (0.4 * nf + 0.6 * nf).astype(jnp.int32),
+                (0.25 * nf + 0.6 * nf).astype(jnp.int32),
+                (0.6 * nf).astype(jnp.int32)])
+            m_fb = jnp.maximum(jnp.where(n > 1, n - 1, n), 1)
+            ranks = jnp.concatenate([
+                jnp.maximum(n // 2, 0)[None],           # median
+                jnp.maximum(cand_we, 1) - 1,
+                jnp.maximum(cand_ws, 1) - 1,
+                m_fb[None] - 1])                        # (8,)
+            r_bits = _value_at_ranks(bits, ok, ranks)
+            r_vals = jax.lax.bitcast_convert_type(r_bits, jnp.float32)
+            d_mid = r_vals[0]
+
+            # 2x2 corner means of the raw (unfiltered) full-res map
+            cy1 = jnp.clip(y1, 0, h + crop)
+            cy2 = jnp.clip(y2 - 2, 0, h + crop)
+            cx1 = jnp.clip(x1, 0, pw - 2)
+            cx2 = jnp.clip(x2 - 2, 0, pw - 2)
+            corner = lambda y, x: jnp.mean(
+                jax.lax.dynamic_slice(depth_pad, (y, x), (2, 2)))
+            corners = jnp.stack([corner(cy1, cx1), corner(cy1, cx2),
+                                 corner(cy2, cx1), corner(cy2, cx2)])
+            votes = jnp.sum(corners > d_mid)
+            branch = jnp.where(votes <= 2, 0, jnp.where(votes == 3, 1, 2))
+
+            ms = jnp.maximum(jnp.concatenate(
+                [cand_we, cand_ws, m_fb[None]]), 1)     # (7,)
+            v_bits = r_bits[1:]
+            vs = r_vals[1:]
+            below = ok[None, :] & (bits[None, :] < v_bits[:, None])
+            cnt_lt = jnp.sum(below, axis=1, dtype=jnp.int32)
+            sum_lt = jnp.sum(jnp.where(below, dvals[None, :], 0.0), axis=1)
+            pref = sum_lt + (ms - cnt_lt).astype(jnp.float32) * vs  # (7,)
+
+            ws = cand_ws[branch]
+            we = cand_we[branch]
+            seg_cnt = (we - ws).astype(jnp.float32)
+            seg_sum = jnp.where(we > ws, pref[branch], 0.0) - \
+                jnp.where(ws > 0, pref[3 + branch], 0.0)
+            fb_cnt = jnp.maximum(n - 1, 1).astype(jnp.float32)
+            fb_sum = pref[6]
+            use_fb = we <= ws
+            d = jnp.where(use_fb, fb_sum / fb_cnt,
+                          seg_sum / jnp.maximum(seg_cnt, 1.0))
+            no_pixels = n < 1
+            bad = skip | no_pixels
+            d = jnp.where(bad, -1.0, d)
+            scale = jnp.where(bad, 1.0, jnp.clip(d * d, 1.0, 3.0))
+            return d, scale
+
+        # ---- ablation modes (perf-irrelevant) ---------------------------
         # median value (sorted[n // 2])
         mid_bits = _value_at_ranks(bits, ok, jnp.maximum(n // 2, 0)[None])[0]
         d_mid = jax.lax.bitcast_convert_type(mid_bits, jnp.float32)
 
-        # 2x2 corner means of the raw (unfiltered) full-res map
         cy1 = jnp.clip(y1, 0, h + crop)
         cy2 = jnp.clip(y2 - 2, 0, h + crop)
         cx1 = jnp.clip(x1, 0, pw - 2)
@@ -167,13 +227,7 @@ def extract_box_depths(depth: jnp.ndarray, bboxes: jnp.ndarray,
                              corner(cy2, cx1), corner(cy2, cx2)])
         votes = jnp.sum(corners > d_mid)
 
-        nf = n.astype(jnp.float32)
-        if mode == 'corner_guided':
-            w_start = jnp.minimum(
-                1.0 - votes.astype(jnp.float32) / 4.0, 0.4) * nf
-            ws = w_start.astype(jnp.int32)                # trunc like int()
-            we = (w_start + 0.6 * nf).astype(jnp.int32)
-        elif mode == 'truncated_mean':
+        if mode == 'truncated_mean':
             ws = (0.1 * nf).astype(jnp.int32)
             we = (0.9 * nf).astype(jnp.int32)
         elif mode in ('mean', 'median'):

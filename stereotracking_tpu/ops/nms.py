@@ -58,29 +58,42 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, labels: jnp.ndarray,
     offs = top_labels.astype(jnp.float32)[:, None] * span
     iou = bbox_iou_matrix(top_boxes + offs, top_boxes + offs)  # (k, k)
 
-    def cond(state):
-        _, _, live_scores, n_out = state
-        return jnp.logical_and(n_out < max_out,
-                               jnp.max(live_scores) > neg_inf)
+    # Exact greedy NMS via fixed-point suppression instead of a sequential
+    # pick loop (300 while iterations cost ~9 ms/frame on TPU; this is a
+    # handful of dense (k, k) passes).  Candidates are already in descending
+    # score order (top_k), so "i precedes j" is the strict upper triangle;
+    # the greedy keep set is the unique fixed point of
+    #   keep[j] = not exists i<j: keep[i] and iou[i,j] > thr
+    # and iterating from all-kept converges in at most the longest
+    # suppression-chain length (while_loop exits at the fixed point).
+    rows = jnp.arange(k)
+    sup = (iou > iou_threshold) & (rows[:, None] < rows[None, :]) & \
+        jnp.isfinite(top_scores)[:, None] & jnp.isfinite(top_scores)[None, :]
 
-    def body(state):
-        keep_idx, keep_mask, live_scores, n_out = state
-        j = jnp.argmax(live_scores)
-        keep_idx = keep_idx.at[n_out].set(j.astype(jnp.int32))
-        keep_mask = keep_mask.at[n_out].set(True)
-        suppress = iou[j] > iou_threshold
-        live_scores = jnp.where(suppress, neg_inf, live_scores)
-        live_scores = live_scores.at[j].set(neg_inf)
-        return keep_idx, keep_mask, live_scores, n_out + 1
+    def fp_cond(st):
+        keep, prev, it = st
+        return jnp.logical_and(jnp.any(keep != prev), it < k)
 
-    keep_idx0 = jnp.zeros((max_out,), jnp.int32)
-    keep_mask0 = jnp.zeros((max_out,), jnp.bool_)
-    keep_idx, keep_mask, _, _ = jax.lax.while_loop(
-        cond, body, (keep_idx0, keep_mask0, top_scores, jnp.int32(0)))
+    def fp_body(st):
+        keep, _, it = st
+        new = jnp.logical_not(
+            jnp.any(sup & keep[:, None], axis=0))
+        return new, keep, it + 1
 
-    out_boxes = jnp.where(keep_mask[:, None], top_boxes[keep_idx], 0.0)
-    out_scores = jnp.where(keep_mask, top_scores[keep_idx], 0.0)
-    out_labels = jnp.where(keep_mask, top_labels[keep_idx], 0)
+    keep0 = jnp.isfinite(top_scores)
+    keep, _, _ = jax.lax.while_loop(
+        fp_cond, fp_body, (keep0, jnp.zeros((k,), bool), jnp.int32(0)))
+    keep &= jnp.isfinite(top_scores)
+
+    # compact kept candidates (already score-ordered) into max_out slots
+    order = jnp.argsort(jnp.logical_not(keep), stable=True)[:max_out]
+    keep_mask = keep[order]
+    n_keep = jnp.cumsum(keep_mask.astype(jnp.int32))
+    keep_mask &= n_keep <= max_out
+
+    out_boxes = jnp.where(keep_mask[:, None], top_boxes[order], 0.0)
+    out_scores = jnp.where(keep_mask, top_scores[order], 0.0)
+    out_labels = jnp.where(keep_mask, top_labels[order], 0)
     return NMSResult(out_boxes, out_scores,
                      out_labels.astype(jnp.int32), keep_mask)
 
