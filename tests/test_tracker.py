@@ -190,3 +190,54 @@ def test_ab_matches_oracle(seed):
         for tid, box in exp.items():
             np.testing.assert_allclose(got[tid], box, atol=1e-2,
                                        err_msg=f'frame {f} id {tid}')
+
+
+@pytest.mark.parametrize('kwargs,seed', [
+    (dict(num_tentatives=1), 5),
+    (dict(num_frames_retain=5), 6),
+    (dict(weight_iou_with_det_scores=True), 7),
+    (dict(match_iou_thr=0.3), 8),
+    (dict(vel_consist_weight=0.0), 9),
+    (dict(vel_delta_t=1), 10),
+    (dict(init_track_thr=0.5, obj_score_thr=0.2), 11),
+])
+def test_ab_matches_oracle_config_variants(kwargs, seed):
+    """Oracle A/B across tracker hyperparameter variations."""
+    cfg = CFG._replace(**kwargs)
+    frames = simulate_world(seed, n_frames=30, n_obj=5, p_drop=0.25,
+                            p_spur=0.25)
+    oracle = OracleTracker(**kwargs)
+    state = T.init_state(cfg)
+    for f, (boxes, scores) in enumerate(frames):
+        exp = oracle.step(boxes, scores, np.zeros(len(boxes), int),
+                          np.ones(len(boxes)), np.full(len(boxes), 10.0), f)
+        dets = make_dets(boxes, scores, cfg=cfg)
+        state, out = jit_step(state, dets, f, cfg)
+        ids = np.asarray(out.ids)
+        valid = np.asarray(out.valid)
+        bxs = np.asarray(out.bboxes)
+        got = {int(i): bxs[j] for j, i in enumerate(ids) if valid[j]}
+        assert set(got.keys()) == set(exp.keys()), \
+            f'frame {f}: {sorted(got)} vs oracle {sorted(exp)} ({kwargs})'
+        for tid, box in exp.items():
+            np.testing.assert_allclose(got[tid], box, atol=1e-2,
+                                       err_msg=f'frame {f} id {tid}')
+
+
+@pytest.mark.parametrize('seed', [20, 21])
+def test_ab_long_sequences_with_heavy_occlusion(seed):
+    """60-frame sequences, high dropout: exercises OCR recovery + smoothing
+    + retention eviction against the oracle."""
+    frames = simulate_world(seed, n_frames=60, n_obj=6, p_drop=0.35,
+                            p_spur=0.3)
+    oracle = OracleTracker()
+    state = T.init_state(CFG)
+    for f, (boxes, scores) in enumerate(frames):
+        exp = oracle.step(boxes, scores, np.zeros(len(boxes), int),
+                          np.ones(len(boxes)), np.full(len(boxes), 10.0), f)
+        dets = make_dets(boxes, scores)
+        state, out = jit_step(state, dets, f, CFG)
+        ids = np.asarray(out.ids)
+        valid = np.asarray(out.valid)
+        got = sorted(int(i) for j, i in enumerate(ids) if valid[j])
+        assert got == sorted(exp.keys()), f'frame {f}'
