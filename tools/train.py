@@ -29,6 +29,10 @@ def parse_args():
     p.add_argument('--max-gt', type=int, default=64)
     p.add_argument('--img-scale', type=int, nargs=2, default=None)
     p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--val-interval', type=int, default=None,
+                   help='epochs between detector mAP validations '
+                        '(reference val_interval=5); default: off')
+    p.add_argument('--val-max-images', type=int, default=200)
     p.add_argument('--cfg-options', nargs='*', default=None)
     return p.parse_args()
 
@@ -145,6 +149,47 @@ def main():
             loss_cfg=loss_cfg_s2)),
     }
 
+    def run_validation(state):
+        """Detector-only COCO mAP on the val split with EMA weights
+        (reference val loop with CocoMetric, config :206-231)."""
+        from stereotracking_tpu.data import MOTDispDataset
+        from stereotracking_tpu.evaluation import CocoMAPEvaluator
+        from stereotracking_tpu.models.detector import detector_predict
+        from stereotracking_tpu.data import transforms as T
+
+        vd = dict(cfg['val_dataloader']['dataset'])
+        val_ds = MOTDispDataset(
+            ann_file=os.path.join(vd.get('data_root', ''), vd['ann_file']),
+            data_root=vd.get('data_root', ''),
+            img_prefix=vd.get('img_prefix', ''),
+            classes=tuple(cfg.get('classes', ())) or None)
+        variables = {'params': state.ema_params,
+                     'batch_stats': state.ema_batch_stats}
+        pred_fn = jax.jit(lambda v, i: detector_predict(v, module, i))
+        ev = CocoMAPEvaluator(num_classes=det_cfg.num_classes)
+        img_ids = [i for v in val_ds.videos()
+                   for i in val_ds.video_frames(v)][:args.val_max_images]
+        for img_id in img_ids:
+            s = val_ds.load_frame(img_id)
+            s = T.resize_keep_ratio(s, scale)
+            s = T.pad_to_divisor(s, 32)
+            inputs = dict(
+                img=jnp.asarray(s['img'][None].astype(np.float32)),
+                disp_postp=jnp.asarray(
+                    s['disp_postp'][None, ..., None].repeat(3, -1)),
+                disp_mask=jnp.asarray(s['disp_mask'][None, ..., None]))
+            det = pred_fn(variables, inputs)
+            dv = np.asarray(det.valid)
+            sf = s.get('scale_factor', (1.0, 1.0))
+            ev.add_gt(img_id, s['gt_bboxes'] / sf[0], s['gt_labels'])
+            ev.add_dt(img_id, np.asarray(det.boxes)[dv],
+                      np.asarray(det.scores)[dv],
+                      np.asarray(det.labels)[dv])
+        res = ev.evaluate(areas=('all',))
+        print(f'[val] mAP {res["mAP"]:.4f} mAP50 {res["mAP_50"]:.4f}',
+              flush=True)
+        return res
+
     for epoch in range(start_epoch, max_epochs):
         stage2 = epoch >= max_epochs - num_last
         t0 = time.perf_counter()
@@ -163,6 +208,8 @@ def main():
         print(f'epoch {epoch} done in {time.perf_counter()-t0:.1f}s',
               flush=True)
         ckpt.maybe_save(epoch, jax.device_get(state))
+        if args.val_interval and (epoch + 1) % args.val_interval == 0:
+            run_validation(state)
 
     final = extract_detector_variables(jax.device_get(state))
     save_checkpoint(os.path.join(work_dir, 'detector_final.ckpt'), final)
