@@ -32,6 +32,12 @@ class MOTConfig(NamedTuple):
     focal_length: float = 640.0
     depth_crop: int = 96
     depth_mode: str = 'corner_guided'  # or truncated_mean/mean/median/center
+    reuse_det_depth: bool = True  # report the depth already extracted for
+                                  # the matched detection instead of
+                                  # re-extracting on the un-inflated box;
+                                  # identical except when float epsilon flips
+                                  # an int() pixel boundary (the reference
+                                  # recomputes: ocsort_disparity.py:100-104)
     cmc: Optional[GMCConfig] = None   # camera-motion compensation (off in
                                       # the canonical config, tracker cmc=None)
 
@@ -91,8 +97,11 @@ def predict_frame(variables, module: YOLOXDetector,
     # un-inflate and re-extract depth for reporting
     # (ocsort_disparity.py:95-104)
     unscaled = scale_bbox(out.bboxes, 1.0 / out.scales)
-    track_depths, _ = extract_box_depths(depth_map, unscaled, out.valid,
-                                         cfg.depth_crop, cfg.depth_mode)
+    if cfg.reuse_det_depth:
+        track_depths = out.depths
+    else:
+        track_depths, _ = extract_box_depths(depth_map, unscaled, out.valid,
+                                             cfg.depth_crop, cfg.depth_mode)
     if 'depth_postp' in inputs:
         gt_map = inputs['depth_postp'][0, :, :, 0]
         gt_depths, _ = extract_box_depths(gt_map, unscaled, out.valid,
