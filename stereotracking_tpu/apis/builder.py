@@ -69,6 +69,9 @@ def build_mot_config(model_cfg: Dict[str, Any]) -> MOTConfig:
         tracker=build_tracker_config(model_cfg.get('tracker', {})),
         baseline=model_cfg.get('baseline', 0.25),
         focal_length=model_cfg.get('focal_length', 640),
+        depth_crop=model_cfg.get('depth_crop', 96),
+        depth_mode=model_cfg.get('depth_mode', 'corner_guided'),
+        reuse_det_depth=model_cfg.get('reuse_det_depth', True),
     )
 
 
