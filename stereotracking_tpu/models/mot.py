@@ -119,6 +119,26 @@ def predict_frame(variables, module: YOLOXDetector,
     return state, result
 
 
+def predict_frame_raw(variables, module: YOLOXDetector,
+                      state: trk.TrackState, img_u8: jnp.ndarray,
+                      disp_u16: jnp.ndarray, frame_id: jnp.ndarray,
+                      cfg: MOTConfig, out_h: int, out_w: int,
+                      scale_factor: Tuple[float, float] = (1.0, 1.0),
+                      depth_raw: Optional[jnp.ndarray] = None,
+                      warp: Optional[jnp.ndarray] = None,
+                      ) -> Tuple[trk.TrackState, FrameResult]:
+    """``predict_frame`` from RAW decoded frames: uint8 BGR (H, W, 3) +
+    uint16 disparity (H, W).  The device-side preprocessing (cast, invalid-
+    pixel mask, /16 fixed-point, pad-to-divisor) fuses into the SAME XLA
+    program as detector + depth + tracker, so the per-frame production path
+    truly is one program from camera bytes to track IDs.  jit with static
+    (module, cfg, out_h, out_w, scale_factor)."""
+    from .preprocessor import preprocess_frame_pure
+    inputs = preprocess_frame_pure(img_u8, disp_u16, out_h, out_w, depth_raw)
+    return predict_frame(variables, module, state, inputs, frame_id, cfg,
+                         scale_factor, warp=warp)
+
+
 class OCSORTDisparity:
     """Host-side convenience wrapper: holds module/params/track state and
     exposes the per-frame streaming API (reference ``inference_mot`` shape,

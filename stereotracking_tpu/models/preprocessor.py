@@ -25,16 +25,13 @@ def padded_shape(h: int, w: int, divisor: int = PAD_DIVISOR) -> Tuple[int, int]:
     return (-(-h // divisor) * divisor, -(-w // divisor) * divisor)
 
 
-@partial(jax.jit, static_argnames=('out_h', 'out_w'))
-def preprocess_frame(img_u8: jnp.ndarray, disp_u16: jnp.ndarray,
-                     out_h: int, out_w: int,
-                     depth_raw: Optional[jnp.ndarray] = None,
-                     ) -> Dict[str, jnp.ndarray]:
-    """uint8 BGR (H, W, 3) + uint16 disparity (H, W) -> padded NHWC floats.
-
-    Returns dict with 'img' (1, H', W', 3), 'disp_postp' (1, H', W', 3),
-    'disp_mask' (1, H', W', 1), and optionally 'depth_postp'.
-    """
+def preprocess_frame_pure(img_u8: jnp.ndarray, disp_u16: jnp.ndarray,
+                          out_h: int, out_w: int,
+                          depth_raw: Optional[jnp.ndarray] = None,
+                          ) -> Dict[str, jnp.ndarray]:
+    """Traceable body of ``preprocess_frame`` — compose this inside a larger
+    jitted program (e.g. the per-frame MOT step) so the cast/mask/pad fuses
+    with the consumer instead of costing an extra HBM round-trip."""
     h, w = img_u8.shape[:2]
     ph, pw = out_h - h, out_w - w
 
@@ -57,3 +54,16 @@ def preprocess_frame(img_u8: jnp.ndarray, disp_u16: jnp.ndarray,
         depth = jnp.pad(depth_raw.astype(jnp.float32), ((0, ph), (0, pw)))
         out['depth_postp'] = depth[None, :, :, None]
     return out
+
+
+@partial(jax.jit, static_argnames=('out_h', 'out_w'))
+def preprocess_frame(img_u8: jnp.ndarray, disp_u16: jnp.ndarray,
+                     out_h: int, out_w: int,
+                     depth_raw: Optional[jnp.ndarray] = None,
+                     ) -> Dict[str, jnp.ndarray]:
+    """uint8 BGR (H, W, 3) + uint16 disparity (H, W) -> padded NHWC floats.
+
+    Returns dict with 'img' (1, H', W', 3), 'disp_postp' (1, H', W', 3),
+    'disp_mask' (1, H', W', 1), and optionally 'depth_postp'.
+    """
+    return preprocess_frame_pure(img_u8, disp_u16, out_h, out_w, depth_raw)

@@ -20,7 +20,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import tracker as trk
 from ..models.detector import YOLOXDetector
-from ..models.mot import FrameResult, MOTConfig, predict_frame
+from ..models.mot import (FrameResult, MOTConfig, predict_frame,
+                          predict_frame_raw)
 
 
 def init_stream_states(cfg: MOTConfig, n_streams: int) -> trk.TrackState:
@@ -77,6 +78,16 @@ class MultiStreamTracker:
             predict_frames_batched, module=self.module, cfg=self.cfg),
             static_argnames=('scale_factor',))
 
+        def _step_raw(variables, states, imgs, disps, frame_ids,
+                      out_h, out_w, scale_factor):
+            fn = functools.partial(predict_frame_raw, variables, self.module,
+                                   cfg=self.cfg, out_h=out_h, out_w=out_w,
+                                   scale_factor=scale_factor)
+            return jax.vmap(fn)(states, imgs, disps, frame_ids)
+
+        self._step_raw = jax.jit(
+            _step_raw, static_argnames=('out_h', 'out_w', 'scale_factor'))
+
     def shard_inputs(self, inputs: dict) -> dict:
         if self.mesh is None:
             return inputs
@@ -89,6 +100,27 @@ class MultiStreamTracker:
             self.variables, states=self.states,
             inputs=self.shard_inputs(inputs),
             frame_ids=jnp.asarray(frame_ids, jnp.int32),
+            scale_factor=scale_factor)
+        return result
+
+    def track_raw(self, imgs_u8, disps_u16, frame_ids,
+                  scale_factor: Tuple[float, float] = (1.0, 1.0)
+                  ) -> FrameResult:
+        """Advance all streams one frame from RAW decoded frames.
+
+        ``imgs_u8``: (S, H, W, 3) uint8; ``disps_u16``: (S, H, W) uint16.
+        Device-side preprocessing (cast/mask//16/pad) runs INSIDE the same
+        per-frame program as detector+depth+tracker."""
+        from ..models.preprocessor import padded_shape
+        h, w = imgs_u8.shape[1], imgs_u8.shape[2]
+        oh, ow = padded_shape(h, w)
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P(self.stream_axis))
+            imgs_u8 = jax.device_put(imgs_u8, sh)
+            disps_u16 = jax.device_put(disps_u16, sh)
+        self.states, result = self._step_raw(
+            self.variables, self.states, imgs_u8, disps_u16,
+            jnp.asarray(frame_ids, jnp.int32), out_h=oh, out_w=ow,
             scale_factor=scale_factor)
         return result
 
