@@ -18,12 +18,18 @@ from .coco_video import CocoVideo
 from . import transforms as T
 
 
-def derive_modal_path(img_path: str, file_name: str, dir_name: str) -> str:
-    low = img_path.lower()
-    if 'kitti' in low:
-        new = file_name.replace('img2', dir_name)
-    else:  # airsim / generic 'left' naming
-        new = file_name.replace('left', dir_name)
+def derive_modal_path(img_path: str, file_name: str, dir_name: str,
+                      token: str = 'auto') -> str:
+    """Derive a disparity/depth path from the image path by replacing
+    ``token`` in the file name (AirSim names use ``left``, KITTI ``img2``;
+    reference coco_disparity.py:28-49 / mot_kitti_dataset.py).
+
+    ``token='auto'`` keeps the reference's path-substring dispatch for
+    standalone callers; the dataset classes pass it explicitly.
+    """
+    if token == 'auto':
+        token = 'img2' if 'kitti' in img_path.lower() else 'left'
+    new = file_name.replace(token, dir_name)
     return img_path.replace(file_name, new)
 
 
@@ -68,12 +74,16 @@ class CocoDispDataset:
                  img_prefix: str = '',
                  disparity_dir_name: str = 'disparity',
                  depth_dir_name: Optional[str] = None,
-                 classes: Optional[tuple] = None):
+                 classes: Optional[tuple] = None,
+                 path_token: str = 'left',
+                 depth_mode: str = 'airsim'):
         self.coco = CocoVideo(ann_file)
         self.data_root = data_root
         self.img_prefix = img_prefix
         self.disparity_dir_name = disparity_dir_name
         self.depth_dir_name = depth_dir_name
+        self.path_token = path_token
+        self.depth_mode = depth_mode
         cat_ids = self.coco.cat_ids()
         if classes is not None:
             name_to_id = {c['name']: cid for cid, c in self.coco.cats.items()}
@@ -92,10 +102,12 @@ class CocoDispDataset:
             img_id=img['id'], img_path=img_path,
             width=img['width'], height=img['height'],
             disp_path=derive_modal_path(img_path, fname,
-                                        self.disparity_dir_name))
+                                        self.disparity_dir_name,
+                                        self.path_token))
         if self.depth_dir_name:
             info['depth_path'] = derive_modal_path(img_path, fname,
-                                                   self.depth_dir_name)
+                                                   self.depth_dir_name,
+                                                   self.path_token)
         info.update(_parse_instances(
             self.coco.load_anns(img['id']), self.cat2label,
             img['width'], img['height'], with_track=False))
@@ -108,7 +120,8 @@ class CocoDispDataset:
         disp = T.load_disparity(info['disp_path'])
         sample.update(T.disparity_postprocess(disp))
         if 'depth_path' in info:
-            sample['depth_postp'] = T.load_depth(info['depth_path'])
+            sample['depth_postp'] = T.load_depth(info['depth_path'],
+                                                 mode=self.depth_mode)
         return sample
 
 
@@ -138,10 +151,12 @@ class MOTDispDataset(CocoDispDataset):
             frame_id=img.get('frame_id', 0),
             width=img['width'], height=img['height'],
             disp_path=derive_modal_path(img_path, fname,
-                                        self.disparity_dir_name))
+                                        self.disparity_dir_name,
+                                        self.path_token))
         if self.depth_dir_name:
             info['depth_path'] = derive_modal_path(img_path, fname,
-                                                   self.depth_dir_name)
+                                                   self.depth_dir_name,
+                                                   self.path_token)
         info.update(_parse_instances(
             self.coco.load_anns(img_id), self.cat2label,
             img['width'], img['height'], with_track=True))
@@ -155,11 +170,14 @@ class MOTDispDataset(CocoDispDataset):
         sample['disp_raw'] = disp
         sample.update(T.disparity_postprocess(disp))
         if 'depth_path' in info:
-            sample['depth_postp'] = T.load_depth(info['depth_path'])
+            sample['depth_postp'] = T.load_depth(info['depth_path'],
+                                                 mode=self.depth_mode)
         return sample
 
 
 class MOTKittiDataset(MOTDispDataset):
     """KITTI stereo tracking dataset (reference mot_kitti_dataset.py):
     identical machinery; disparity paths derive from the ``img2`` naming."""
-    pass
+
+    def __init__(self, *args, path_token: str = 'img2', **kwargs):
+        super().__init__(*args, path_token=path_token, **kwargs)

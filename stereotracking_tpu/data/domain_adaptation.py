@@ -14,12 +14,13 @@ from .datasets import CocoDispDataset
 
 
 class SELMADataset(CocoDispDataset):
-    """SELMA depth dataset: CocoDispDataset with SELMA's 'depth' naming
-    (24-bit depth decode is handled by transforms.load_depth scaling)."""
+    """SELMA source-domain dataset (reference datasets/selma_dataset.py):
+    CocoDispDataset whose GT depth maps are SELMA's 24-bit packed inverse
+    depth — decoded by ``transforms.load_depth(mode='selma')``
+    (loading_disparity.py:215-219 semantics)."""
 
-    def __init__(self, *args, depth_scale: float = 1.0 / 100, **kwargs):
-        super().__init__(*args, **kwargs)
-        self.depth_scale = depth_scale
+    def __init__(self, *args, depth_mode: str = 'selma', **kwargs):
+        super().__init__(*args, depth_mode=depth_mode, **kwargs)
 
 
 def multi_dataset_collate(src_samples: List[dict],

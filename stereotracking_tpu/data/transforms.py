@@ -47,9 +47,23 @@ def disparity_postprocess(disp: np.ndarray) -> dict:
     return dict(disp_postp=postp, disp_mask=mask)
 
 
-def load_depth(path: str, scale: float = 1.0 / 100) -> np.ndarray:
-    """GT depth PNG -> meters (AirSim stores centimeters;
-    loading_disparity.py:146-287)."""
+def load_depth(path: str, mode: str = 'airsim',
+               scale: float = 1.0 / 100) -> np.ndarray:
+    """GT depth PNG -> meters.
+
+    ``mode='airsim'``: uint16 centimeters -> /100 (loading_disparity.py:237).
+    ``mode='selma'``: 24-bit packed normalized inverse depth
+    (loading_disparity.py:215-219): the three 8-bit channels are combined as
+    ``B*65535 + G*256 + R`` (the reference reads BGR via cv2 and dots
+    ``[65535, 256, 1]``; we read RGB via PIL, so the weight vector reverses),
+    normalized by ``2^24 - 1``, then inverted ``1/(d + 1e-6)``.
+    """
+    if mode == 'selma':
+        arr = np.asarray(Image.open(path).convert('RGB'))
+        norm = arr.astype(np.float32) @ np.array(
+            [1.0, 256.0, 65535.0], np.float32)
+        norm = norm / float(256 ** 3 - 1)
+        return 1.0 / (norm + 1e-6)
     arr = np.asarray(Image.open(path))
     if arr.ndim == 3:
         arr = arr[:, :, 0]

@@ -51,6 +51,41 @@ def test_path_derivation():
     assert p == '/d/kitti/disparity/0.png'
 
 
+def test_explicit_path_token():
+    from stereotracking_tpu.data.datasets import derive_modal_path
+    # no substring heuristic needed when the caller states the style
+    p = derive_modal_path('/d/seqA/img2/0.png', 'seqA/img2/0.png',
+                          'disparity', token='img2')
+    assert p == '/d/seqA/disparity/0.png'
+
+
+def test_kitti_dataset_uses_img2_token(dataset_root, tmp_path):
+    from stereotracking_tpu.data import MOTKittiDataset
+    root, ann = dataset_root
+    ds = MOTKittiDataset(ann, data_root=root)
+    assert ds.path_token == 'img2'
+
+
+def test_selma_24bit_depth_decode(tmp_path):
+    """Golden test of loading_disparity.py:215-219 semantics: cv2-BGR
+    dot([65535, 256, 1]) / (2^24-1), then inverse."""
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    rgb = rng.randint(0, 255, (4, 6, 3), np.uint8)
+    p = tmp_path / 'selma_depth.png'
+    Image.fromarray(rgb).save(p)
+
+    got = T.load_depth(str(p), mode='selma')
+    r, g, b = [rgb[..., i].astype(np.float64) for i in range(3)]
+    norm = (b * 65535.0 + g * 256.0 + r * 1.0) / (256 ** 3 - 1)
+    expect = 1.0 / (norm + 1e-6)
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+    # SELMADataset selects the decode
+    from stereotracking_tpu.data.domain_adaptation import SELMADataset
+    assert SELMADataset.__init__.__kwdefaults__['depth_mode'] == 'selma'
+
+
 def test_video_sampler_order_and_split(dataset_root):
     root, ann = dataset_root
     ds = MOTDispDataset(ann, data_root=root)

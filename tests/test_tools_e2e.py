@@ -38,6 +38,10 @@ val_dataloader = dict(dataset=dict(data_root='{root}/',
                                    img_prefix='',
                                    depth_dir_name='depth'))
 test_dataloader = val_dataloader
+# Tiny detector: the e2e tests exercise the CLI flow, not detector capacity,
+# and the full YOLOX-S takes ~4 min to compile per subprocess on CPU.
+model = dict(detector=dict(backbone=dict(deepen_factor=0.1,
+                                         widen_factor=0.125)))
 """)
     return root, cfg
 
