@@ -63,77 +63,81 @@ class VideoData:
 
 
 def clear_metrics(data: VideoData, threshold: float = 0.5) -> dict:
+    """CLEAR metrics, a faithful transcription of TrackEval's algorithm
+    (trackeval/metrics/clear.py::eval_sequence — what the reference's
+    MOTDroneMetrics delegates to via mot_drone_metrics.py:254-321):
+
+    * per-timestep score is ``1000 * continuation + similarity`` with
+      entries below the threshold zeroed BEFORE matching;
+    * the continuation memory (``prev_timestep_tracker_id``) is NOT reset
+      on timesteps with no GT or no tracker detections (TrackEval skips
+      those timesteps entirely), so a match resumed across an empty frame
+      is a continuation, not a fragmentation;
+    * Frag counts tracked-segment starts per GT id minus one;
+    * MT uses strict ``ratio > 0.8`` and PT ``ratio >= 0.2`` (TrackEval uses
+      ``np.greater`` / ``np.greater_equal``; ML is the strict ``< 0.2``
+      remainder). This intentionally differs from the inclusive thresholds
+      in some MOT papers — the parity target is TrackEval's code.
+    """
+    eps = np.finfo(float).eps
     num_gt_ids = data.num_gt_ids
-    prev_tracker = np.full(num_gt_ids, -1)          # last matched tracker id
-    prev_timestep_tracker = np.full(num_gt_ids, -1)
-    gt_frame_count = np.zeros(num_gt_ids)
+    gt_id_count = np.zeros(num_gt_ids)
     gt_matched_count = np.zeros(num_gt_ids)
-    gt_frag_state = np.full(num_gt_ids, -1)         # -1 unseen,0 lost,1 live
-    frag = 0
+    gt_frag_count = np.zeros(num_gt_ids)
+    prev_tracker = np.full(num_gt_ids, -1)          # last matched, ever
+    prev_timestep_tracker = np.full(num_gt_ids, -1)  # matched last timestep
     tp = fp = fn = idsw = 0
     motp_sum = 0.0
 
     for gids, tids, sim in zip(data.gt_ids, data.tr_ids, data.sims):
-        gt_frame_count[gids] += 1
         if len(gids) == 0:
             fp += len(tids)
-            prev_timestep_tracker = np.full(num_gt_ids, -1)
             continue
         if len(tids) == 0:
             fn += len(gids)
-            for g in gids:
-                if gt_frag_state[g] == 1:
-                    gt_frag_state[g] = 0
-            prev_timestep_tracker = np.full(num_gt_ids, -1)
+            gt_id_count[gids] += 1
             continue
 
-        score = sim.copy()
-        score[score < threshold - np.finfo(float).eps] = 0.0
-        # continuation bonus: prefer keeping last-frame matches
-        bonus = (prev_timestep_tracker[gids][:, None] == tids[None, :]) & \
-            (score > 0)
-        rows, cols = linear_sum_assignment(-(score + 1000.0 * bonus))
-        matched = score[rows, cols] > 0
+        score = 1000.0 * (prev_timestep_tracker[gids][:, None]
+                          == tids[None, :]) + sim
+        score[sim < threshold - eps] = 0.0
+        rows, cols = linear_sum_assignment(-score)
+        matched = score[rows, cols] > 0 + eps
         rows, cols = rows[matched], cols[matched]
+        mg, mtr = gids[rows], tids[cols]
 
-        n_match = len(rows)
+        prev_m = prev_tracker[mg]
+        idsw += int(np.sum((prev_m != -1) & (mtr != prev_m)))
+
+        gt_id_count[gids] += 1
+        gt_matched_count[mg] += 1
+
+        not_previously_tracked = prev_timestep_tracker == -1
+        prev_tracker[mg] = mtr
+        prev_timestep_tracker = np.full(num_gt_ids, -1)
+        prev_timestep_tracker[mg] = mtr
+        currently_tracked = prev_timestep_tracker != -1
+        gt_frag_count += not_previously_tracked & currently_tracked
+
+        n_match = len(mg)
         tp += n_match
         fn += len(gids) - n_match
         fp += len(tids) - n_match
         motp_sum += float(sim[rows, cols].sum())
 
-        new_prev_t = np.full(num_gt_ids, -1)
-        matched_gt = set()
-        for r, c in zip(rows, cols):
-            g, t = gids[r], tids[c]
-            matched_gt.add(int(g))
-            if prev_tracker[g] not in (-1, t):
-                idsw += 1
-            prev_tracker[g] = t
-            new_prev_t[g] = t
-            gt_matched_count[g] += 1
-            if gt_frag_state[g] == 0:
-                frag += 1
-            gt_frag_state[g] = 1
-        for g in gids:
-            if int(g) not in matched_gt and gt_frag_state[g] == 1:
-                gt_frag_state[g] = 0
-        prev_timestep_tracker = new_prev_t
-
-    seen = gt_frame_count > 0
-    ratio = np.zeros(num_gt_ids)
-    ratio[seen] = gt_matched_count[seen] / gt_frame_count[seen]
-    mt = int(np.sum(seen & (ratio > 0.8)))
-    ml = int(np.sum(seen & (ratio < 0.2)))
-    pt = int(np.sum(seen)) - mt - ml
+    seen = gt_id_count > 0
+    ratio = gt_matched_count[seen] / gt_id_count[seen]
+    mt = int(np.sum(ratio > 0.8))
+    pt = int(np.sum(ratio >= 0.2)) - mt
+    ml = int(seen.sum()) - mt - pt
+    frag = int(np.maximum(gt_frag_count[gt_frag_count > 0] - 1, 0).sum())
     num_gt = data.num_gt_dets
     mota = 1.0 - (fn + fp + idsw) / max(num_gt, 1)
     motp = motp_sum / max(tp, 1)
     return dict(MOTA=mota, MOTP=motp, IDSW=idsw, CLR_TP=tp, CLR_FP=fp,
                 CLR_FN=fn, Frag=frag, MT=mt, PT=pt, ML=ml,
                 CLR_Re=tp / max(tp + fn, 1), CLR_Pr=tp / max(tp + fp, 1),
-                sMOTA=(tp * motp - fp - idsw) / max(num_gt, 1) -
-                (0 if num_gt else 0))
+                sMOTA=(motp_sum - fp - idsw) / max(tp + fn, 1))
 
 
 def identity_metrics(data: VideoData, threshold: float = 0.5) -> dict:
@@ -162,14 +166,23 @@ def identity_metrics(data: VideoData, threshold: float = 0.5) -> dict:
         IDP=idtp / max(idtp + idfp, 1e-10))
 
 
+HOTA_ALPHAS = np.arange(0.05, 0.99, 0.05)  # TrackEval's 19 thresholds
+
+
 def hota_metrics(data: VideoData) -> dict:
-    alphas = np.arange(0.05, 0.99, 0.05)
+    """HOTA, a faithful transcription of TrackEval's algorithm
+    (trackeval/metrics/hota.py::eval_sequence): a first pass accumulates
+    the global alignment score (per-frame Jaccard-normalized similarity
+    summed per id pair), a second pass matches per frame by
+    ``global_alignment * similarity`` with scipy Hungarian, and per-alpha
+    TP/FN/FP plus per-pair match counts give DetA/AssA. Per-alpha count
+    arrays are returned so cross-sequence pooling can follow TrackEval's
+    ``combine_sequences`` (sum counts, TP-weighted AssA) instead of
+    averaging per-video HOTA values.
+    """
+    eps = np.finfo(float).eps
+    alphas = HOTA_ALPHAS
     ng, nt = data.num_gt_ids, data.num_tr_ids
-    if ng == 0 or nt == 0:
-        zero = np.zeros(len(alphas))
-        det = zero if ng or nt else zero
-        return dict(HOTA=0.0, DetA=0.0, AssA=0.0,
-                    HOTA_alpha=zero, DetA_alpha=zero, AssA_alpha=zero)
 
     potential = np.zeros((ng, nt))
     gt_count = np.zeros(ng)
@@ -180,7 +193,7 @@ def hota_metrics(data: VideoData) -> dict:
         if len(gids) and len(tids):
             denom = sim.sum(0)[None, :] + sim.sum(1)[:, None] - sim
             s = np.zeros_like(sim)
-            nz = denom > 1e-10
+            nz = denom > 0 + eps
             s[nz] = sim[nz] / denom[nz]
             potential[np.ix_(gids, tids)] += s
     global_align = potential / np.maximum(
@@ -200,34 +213,39 @@ def hota_metrics(data: VideoData) -> dict:
         score = global_align[np.ix_(gids, tids)] * sim
         rows, cols = linear_sum_assignment(-score)
         for ai, alpha in enumerate(alphas):
-            ok = sim[rows, cols] >= alpha - np.finfo(float).eps
-            ok &= sim[rows, cols] > 0
+            ok = sim[rows, cols] >= alpha - eps
             tp = int(ok.sum())
             tp_a[ai] += tp
             fn_a[ai] += len(gids) - tp
             fp_a[ai] += len(tids) - tp
             match_counts[ai][gids[rows[ok]], tids[cols[ok]]] += 1
 
-    det_a = tp_a / np.maximum(tp_a + fn_a + fp_a, 1e-10)
+    det_a = tp_a / np.maximum(tp_a + fn_a + fp_a, 1.0)
     ass_a = np.zeros(len(alphas))
     for ai in range(len(alphas)):
         mc = match_counts[ai]
-        union = gt_count[:, None] + tr_count[None, :] - mc
-        ass_iou = mc / np.maximum(union, 1e-10)
-        # weighted by per-pair TP count
-        total_tp = mc.sum()
-        ass_a[ai] = (ass_iou * mc).sum() / max(total_tp, 1e-10)
+        union = np.maximum(gt_count[:, None] + tr_count[None, :] - mc, 1.0)
+        ass_iou = mc / union
+        ass_a[ai] = (ass_iou * mc).sum() / np.maximum(tp_a[ai], 1.0)
     hota_alpha = np.sqrt(det_a * ass_a)
     return dict(HOTA=float(hota_alpha.mean()), DetA=float(det_a.mean()),
                 AssA=float(ass_a.mean()), HOTA_alpha=hota_alpha,
-                DetA_alpha=det_a, AssA_alpha=ass_a)
+                DetA_alpha=det_a, AssA_alpha=ass_a,
+                HOTA_TP=tp_a, HOTA_FN=fn_a, HOTA_FP=fp_a)
 
 
 def combine_videos(datas: List[VideoData]) -> dict:
-    """Evaluate each metric family over a list of per-video datasets and
-    aggregate the way TrackEval does for MotChallenge (det counts summed,
-    CLEAR recomputed from sums; HOTA averaged weighted by TPs is
-    approximated by det-weighted mean)."""
+    """Aggregate per-video results the way TrackEval's
+    ``combine_sequences`` does for MotChallenge:
+
+    * CLEAR/Identity: integer count fields are summed across sequences and
+      the final ratios recomputed from the pooled counts;
+    * HOTA: per-alpha HOTA_TP/FN/FP are pooled, per-alpha AssA is the
+      HOTA_TP-weighted mean of per-sequence AssA, DetA is recomputed from
+      the pooled counts, and HOTA = mean_alpha sqrt(DetA * AssA)
+      (trackeval/metrics/hota.py::combine_sequences — NOT a det-weighted
+      mean of per-sequence HOTA values).
+    """
     agg = {}
     clears = [clear_metrics(d) for d in datas]
     for k in ('CLR_TP', 'CLR_FP', 'CLR_FN', 'IDSW', 'Frag', 'MT', 'PT', 'ML'):
@@ -247,9 +265,13 @@ def combine_videos(datas: List[VideoData]) -> dict:
     agg['IDP'] = idtp / max(idtp + idfp, 1e-10)
 
     hotas = [hota_metrics(d) for d in datas]
-    weights = np.array([d.num_gt_dets for d in datas], float)
-    weights = weights / max(weights.sum(), 1e-10)
-    agg['HOTA'] = float(sum(w * h['HOTA'] for w, h in zip(weights, hotas)))
-    agg['DetA'] = float(sum(w * h['DetA'] for w, h in zip(weights, hotas)))
-    agg['AssA'] = float(sum(w * h['AssA'] for w, h in zip(weights, hotas)))
+    tp_a = sum(h['HOTA_TP'] for h in hotas)
+    fn_a = sum(h['HOTA_FN'] for h in hotas)
+    fp_a = sum(h['HOTA_FP'] for h in hotas)
+    ass_a = sum(h['AssA_alpha'] * h['HOTA_TP'] for h in hotas) / \
+        np.maximum(tp_a, 1.0)
+    det_a = tp_a / np.maximum(tp_a + fn_a + fp_a, 1.0)
+    agg['HOTA'] = float(np.sqrt(det_a * ass_a).mean())
+    agg['DetA'] = float(det_a.mean())
+    agg['AssA'] = float(ass_a.mean())
     return agg
