@@ -108,12 +108,20 @@ def main():
     res = ms.track_raw(*staged[1], [1] * n_streams)
     jax.block_until_ready(res)
 
+    # optional profiler trace (SURVEY.md section 5: jax.profiler wiring);
+    # BENCH_PROFILE=<dir> writes an xplane trace of the timed loop
+    import contextlib
+    profile_dir = os.environ.get('BENCH_PROFILE')
+    trace_cm = (jax.profiler.trace(profile_dir) if profile_dir
+                else contextlib.nullcontext())
+
     start = time.perf_counter()
-    for t in range(2, n_steps + 2):
-        res = ms.track_raw(*staged[t % len(staged)], [t] * n_streams)
-    # D2H fetch: through the dev tunnel block_until_ready alone does not
-    # reliably block until device completion, a value fetch does.
-    _ = float(np.asarray(res.track_valid).sum())
+    with trace_cm:
+        for t in range(2, n_steps + 2):
+            res = ms.track_raw(*staged[t % len(staged)], [t] * n_streams)
+        # D2H fetch: through the dev tunnel block_until_ready alone does not
+        # reliably block until device completion, a value fetch does.
+        _ = float(np.asarray(res.track_valid).sum())
     elapsed = time.perf_counter() - start
 
     fps = n_steps * n_streams / elapsed

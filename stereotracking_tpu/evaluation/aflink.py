@@ -53,12 +53,26 @@ class AFLinkModel(nn.Module):
         return jax.nn.softmax(logits, axis=-1)
 
 
+def normalize_pair(w1: np.ndarray, w2: np.ndarray
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Joint min-max normalization of a (padded) window pair, exactly the
+    reference's ``data_transform`` (aflink.py:196-203): per channel over
+    the concatenation, map to [-1, 1] via (max+min)/2 and (max-min)/2.
+    Padding rows participate in the min/max like the reference's np.pad
+    output does."""
+    both = np.concatenate([w1, w2], axis=0)
+    lo, hi = both.min(0), both.max(0)
+    sub = (hi + lo) / 2
+    div = (hi - lo) / 2 + 1e-5
+    return (w1 - sub) / div, (w2 - sub) / div
+
+
 class AppearanceFreeLink:
     """Merge tracklets whose AFLink score exceeds the threshold.
 
     Args mirror the reference: temporal window [t_min, t_max] between the
-    end of one tracklet and the start of the next, spatial distance limit,
-    link-probability threshold.
+    end of one tracklet and the start of the next (inclusive, reference
+    :239-241), spatial distance limit, link-probability threshold.
     """
 
     def __init__(self, variables=None, temporal_threshold=(0, 30),
@@ -106,7 +120,7 @@ class AppearanceFreeLink:
                 if a == b:
                     continue
                 gap = info[b][0, 0] - info[a][-1, 0]
-                if not (self.t_min < gap <= self.t_max):
+                if not (self.t_min <= gap <= self.t_max):
                     continue
                 dist = np.hypot(info[a][-1, 1] - info[b][0, 1],
                                 info[a][-1, 2] - info[b][0, 2])
@@ -116,11 +130,15 @@ class AppearanceFreeLink:
         if not pairs:
             return frames
 
-        x1 = jnp.asarray(np.stack(
-            [self._window(info[a], tail=True) for a, _ in pairs]))
-        x2 = jnp.asarray(np.stack(
-            [self._window(info[b], tail=False) for _, b in pairs]))
-        probs = np.asarray(self._apply(self.variables, x1, x2))[:, 1]
+        w1s, w2s = [], []
+        for a, b in pairs:
+            w1, w2 = normalize_pair(self._window(info[a], tail=True),
+                                    self._window(info[b], tail=False))
+            w1s.append(w1)
+            w2s.append(w2)
+        probs = np.asarray(self._apply(
+            self.variables, jnp.asarray(np.stack(w1s)),
+            jnp.asarray(np.stack(w2s))))[:, 1]
 
         # cost-threshold Hungarian over (ending tracklet, starting tracklet)
         ends = sorted({a for a, _ in pairs})

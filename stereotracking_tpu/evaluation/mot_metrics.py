@@ -162,31 +162,32 @@ def gather_across_hosts(metric: MOTDroneMetrics) -> MOTDroneMetrics:
     """Merge per-video buffers from all hosts (no-op single-host).
 
     Each host evaluates disjoint videos (VideoSampler splits contiguously),
-    so buffers are pickled, padded to the global max length, all-gathered as
-    uint8 tensors and unpickled — the TPU-native analog of the reference's
-    ``all_gather_object`` (mot_drone_metrics.py:323-362).
+    so the buffers are object-all-gathered — the TPU-native analog of the
+    reference's ``all_gather_object`` (mot_drone_metrics.py:323-362).
+    Collective: every rank must call it.
     """
-    import pickle
+    from ..parallel.dist import allgather_pyobj
 
-    import jax
-    import numpy as np
-    if jax.process_count() == 1:
-        return metric
-    from jax.experimental import multihost_utils
-
-    blob = np.frombuffer(
-        pickle.dumps((dict(metric._gt), dict(metric._pred))), np.uint8)
-    local_len = np.asarray([blob.size], np.int64)
-    all_lens = np.asarray(multihost_utils.process_allgather(local_len))
-    max_len = int(all_lens.max())
-    padded = np.zeros(max_len, np.uint8)
-    padded[:blob.size] = blob
-    gathered = np.asarray(multihost_utils.process_allgather(padded))
     merged = MOTDroneMetrics(metric.depth_thr, metric.ignore_depth,
                              metric.iou_threshold, metric.outfile_dir)
-    for host in range(gathered.shape[0]):
-        size = int(all_lens.reshape(-1)[host])
-        gt, pred = pickle.loads(gathered[host, :size].tobytes())
+    for gt, pred in allgather_pyobj((dict(metric._gt), dict(metric._pred))):
         merged._gt.update(gt)
         merged._pred.update(pred)
+    return merged
+
+
+def gather_coco_across_hosts(evaluator):
+    """Merge CocoMAPEvaluator buffers from all hosts (collective)."""
+    from ..parallel.dist import allgather_pyobj
+    from .coco_metric import CocoMAPEvaluator
+
+    merged = CocoMAPEvaluator(evaluator.num_classes, evaluator.max_dets)
+    for gts, dts, imgs in allgather_pyobj(
+            (dict(evaluator._gts), dict(evaluator._dts),
+             set(evaluator._imgs))):
+        for k, v in gts.items():
+            merged._gts[k].extend(v)
+        for k, v in dts.items():
+            merged._dts[k].extend(v)
+        merged._imgs |= imgs
     return merged

@@ -107,7 +107,9 @@ def predict_frame(variables, module: YOLOXDetector,
         gt_depths, _ = extract_box_depths(gt_map, unscaled, out.valid,
                                           cfg.depth_crop, cfg.depth_mode)
     else:
-        gt_depths = track_depths
+        # no GT depth map provided: report -1 so the CSV's gt_depth column
+        # is explicitly unavailable instead of silently echoing predictions
+        gt_depths = jnp.full_like(track_depths, -1.0)
 
     result = FrameResult(
         det_bboxes=det.boxes, det_scores=det.scores, det_labels=det.labels,

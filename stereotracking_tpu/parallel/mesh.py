@@ -23,10 +23,24 @@ def make_mesh(n_devices: Optional[int] = None,
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = 'data'):
-    """Place every array in the pytree with its leading dim sharded."""
+    """Place every array in the pytree with its leading dim sharded.
+
+    Single-process: a plain sharded ``device_put``.  Multi-process
+    (``jax.distributed``): each process supplies its LOCAL slice of the
+    global batch and the global array is assembled with
+    ``make_array_from_process_local_data`` — global batch size is
+    ``local_batch * process_count`` (DDP semantics, reference
+    tools/train.py:42-47).
+    """
+    multiprocess = jax.process_count() > 1
+
     def put(x):
         spec = P(axis) if getattr(x, 'ndim', 0) >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiprocess and spec != P():
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
     return jax.tree.map(put, batch)
 
 

@@ -64,7 +64,8 @@ def test_tools_test_runs_and_writes_metrics(disk_dataset, tmp_path):
     r = subprocess.run(
         [sys.executable, str(REPO / 'tools' / 'test.py'), str(cfg_path),
          '--work-dir', str(out), '--results-csv',
-         str(tmp_path / 'results.csv'), '--dump-txt'],
+         str(tmp_path / 'results.csv'), '--dump-txt',
+         '--show-dir', str(tmp_path / 'vis'), '--show-interval', '2'],
         env=_env(), capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stderr[-3000:]
     metrics = json.loads((out / 'metrics.json').read_text())
@@ -72,6 +73,9 @@ def test_tools_test_runs_and_writes_metrics(disk_dataset, tmp_path):
         assert k in metrics, metrics
     assert (tmp_path / 'results.csv').exists()
     assert (out / 'mot_txt').exists()
+    # visualization hook: every 2nd frame of each of the 2 videos rendered
+    rendered = sorted((tmp_path / 'vis').rglob('*.jpg'))
+    assert len(rendered) == 4, rendered
 
 
 def test_tools_train_one_epoch(disk_dataset, tmp_path):

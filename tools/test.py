@@ -29,15 +29,56 @@ def parse_args():
     p.add_argument('--interpolate', action='store_true',
                    help='tracklet gap interpolation before scoring '
                         '(postprocess_tracklet_cfg capability)')
+    p.add_argument('--aflink', default=None, metavar='CKPT',
+                   help='AFLink tracklet re-linking before scoring using a '
+                        'checkpoint from tools/utils/train_aflink.py '
+                        '(reference AppearanceFreeLink)')
     p.add_argument('--results-csv', default=None)
+    p.add_argument('--show-dir', default=None,
+                   help='render every Nth frame (GT panel over predictions) '
+                        'into this directory (TrackVisualizationHook '
+                        'capability, engine/hooks/visualization_hook.py)')
+    p.add_argument('--show-interval', type=int, default=30,
+                   help='frame interval for --show-dir (reference '
+                        'default 30)')
+    p.add_argument('--show-errors', action='store_true',
+                   help='with --show-dir: color-code TP/FP/FN/IDSW '
+                        '(mot_error_visualization capability) instead of '
+                        'the GT/pred panel')
     p.add_argument('--bf16', action='store_true',
                    help='bfloat16 detector compute')
+    p.add_argument('--launcher', choices=['none', 'jax'], default='none',
+                   help="'jax': initialize jax.distributed (coordinator / "
+                        'world size / rank from --dist-* or STTPU_* env), '
+                        'split videos across processes (VideoSampler) and '
+                        'all-gather metric buffers before scoring')
+    p.add_argument('--dist-coordinator', default=None)
+    p.add_argument('--dist-num-processes', type=int, default=None)
+    p.add_argument('--dist-process-id', type=int, default=None)
     p.add_argument('--cfg-options', nargs='*', default=None)
     return p.parse_args()
 
 
+def _honor_jax_platforms_env():
+    """In this environment a sitecustomize pre-registers the TPU plugin and
+    the JAX_PLATFORMS env var alone is NOT honored — an explicit
+    ``JAX_PLATFORMS=cpu`` still lands on the accelerator unless the
+    already-imported config is updated in-process."""
+    want = os.environ.get('JAX_PLATFORMS')
+    if want:
+        import jax
+        jax.config.update('jax_platforms', want)
+
+
 def main():
     args = parse_args()
+    _honor_jax_platforms_env()
+    rank, world = 0, 1
+    if args.launcher == 'jax':
+        from stereotracking_tpu.parallel.dist import init_distributed
+        rank, world = init_distributed(args.dist_coordinator,
+                                       args.dist_num_processes,
+                                       args.dist_process_id)
     import jax
     import jax.numpy as jnp
 
@@ -85,12 +126,26 @@ def main():
     videos = dataset.videos()
     if args.max_videos:
         videos = videos[:args.max_videos]
+    if world > 1:
+        # contiguous whole-video split across processes
+        # (VideoSampler semantics, reference video_sampler.py:49-69)
+        from stereotracking_tpu.data import VideoSampler
+        videos = [v for v in VideoSampler(dataset, rank, world).vids
+                  if v in set(videos)]
+
+    visualizer = None
+    if args.show_dir:
+        from PIL import Image
+        from stereotracking_tpu.visualization import (TrackVisualizer,
+                                                      draw_mot_errors)
+        visualizer = TrackVisualizer()
 
     n_frames = 0
     t_start = time.perf_counter()
     for vid in videos:
         vname = dataset.video_name(vid)
         frame_ids = dataset.video_frames(vid)
+        prev_match = {}
         loader = PrefetchIterator(frame_ids, dataset.load_frame,
                                   num_workers=4)
         for local_f, sample in enumerate(loader):
@@ -128,14 +183,48 @@ def main():
                                np.asarray(res.det_labels)[dv])
             if csv_dump:
                 csv_dump.append_frame(local_f, res)
+            if visualizer is not None and local_f % args.show_interval == 0:
+                vis_dir = os.path.join(args.show_dir, vname)
+                os.makedirs(vis_dir, exist_ok=True)
+                img = sample['img'].astype(np.uint8)
+                if args.show_errors:
+                    frame_img, prev_match = draw_mot_errors(
+                        img, sample['gt_bboxes'], sample['gt_instance_ids'],
+                        np.asarray(res.track_bboxes)[tv],
+                        np.asarray(res.track_ids)[tv], prev_match)
+                else:
+                    frame_img = visualizer.draw_gt_pred(
+                        img, sample['gt_bboxes'], sample['gt_instance_ids'],
+                        np.asarray(res.track_bboxes)[tv],
+                        np.asarray(res.track_ids)[tv],
+                        np.asarray(res.track_scores)[tv])
+                Image.fromarray(frame_img).save(
+                    os.path.join(vis_dir, f'{local_f:06d}.jpg'))
         print(f'[test] video {vname}: {len(frame_ids)} frames done',
               flush=True)
 
     elapsed = time.perf_counter() - t_start
+    if args.aflink:
+        from stereotracking_tpu.evaluation import AppearanceFreeLink
+        from stereotracking_tpu.train.checkpoint import load_checkpoint
+        linker = AppearanceFreeLink()
+        linker.variables = load_checkpoint(args.aflink, linker.variables)
+        for v in list(mot_metric._pred):
+            mot_metric._pred[v] = linker.link(mot_metric._pred[v])
     if args.interpolate:
         from stereotracking_tpu.evaluation import interpolate_tracklets
         for v in list(mot_metric._pred):
             mot_metric._pred[v] = interpolate_tracklets(mot_metric._pred[v])
+    if world > 1:
+        # collective: every rank participates in the gather, rank 0 scores
+        from stereotracking_tpu.evaluation.mot_metrics import (
+            gather_across_hosts, gather_coco_across_hosts)
+        mot_metric = gather_across_hosts(mot_metric)
+        coco_metric = gather_coco_across_hosts(coco_metric)
+        from stereotracking_tpu.parallel.dist import allgather_pyobj
+        n_frames = sum(allgather_pyobj(n_frames))
+        if rank != 0:
+            return
     results = {}
     results.update(mot_metric.evaluate())
     results.update(coco_metric.evaluate())

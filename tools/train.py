@@ -33,6 +33,13 @@ def parse_args():
                    help='epochs between detector mAP validations '
                         '(reference val_interval=5); default: off')
     p.add_argument('--val-max-images', type=int, default=200)
+    p.add_argument('--launcher', choices=['none', 'jax'], default='none',
+                   help="'jax': initialize jax.distributed; every process "
+                        'contributes batch_size/world_size local samples to '
+                        'a global data-parallel batch (DDP semantics)')
+    p.add_argument('--dist-coordinator', default=None)
+    p.add_argument('--dist-num-processes', type=int, default=None)
+    p.add_argument('--dist-process-id', type=int, default=None)
     p.add_argument('--cfg-options', nargs='*', default=None)
     return p.parse_args()
 
@@ -71,8 +78,24 @@ def make_batch(dataset, indices, scale, max_gt, rng, stage2: bool):
                 gt_bboxes=gtb, gt_labels=gtl, gt_valid=gtv)
 
 
+def _honor_jax_platforms_env():
+    """sitecustomize pre-registers the TPU plugin; JAX_PLATFORMS env alone
+    is not honored, so apply it to the imported config explicitly."""
+    want = os.environ.get('JAX_PLATFORMS')
+    if want:
+        import jax
+        jax.config.update('jax_platforms', want)
+
+
 def main():
     args = parse_args()
+    _honor_jax_platforms_env()
+    rank, world = 0, 1
+    if args.launcher == 'jax':
+        from stereotracking_tpu.parallel.dist import init_distributed
+        rank, world = init_distributed(args.dist_coordinator,
+                                       args.dist_num_processes,
+                                       args.dist_process_id)
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -133,11 +156,23 @@ def main():
     if args.resume:
         state, start_epoch = ckpt.resume(state)
 
-    mesh = make_mesh()
+    if world > 1:
+        mesh = make_mesh()          # spans all processes' devices
+    else:
+        # largest device count that divides the batch (a 2-sample debug
+        # batch on an 8-device host must not build an 8-way mesh)
+        n_dev = len(jax.devices())
+        mesh = make_mesh(max(d for d in range(1, n_dev + 1)
+                             if batch_size % d == 0))
     state = jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), state)
 
-    rng = np.random.RandomState(args.seed)
+    # per-process data stream: each rank draws its own local slice of the
+    # global batch (DistSamplerSeedHook analog: seed offset by rank)
+    local_batch = batch_size // world if world > 1 else batch_size
+    assert local_batch * world == batch_size or world == 1, \
+        f'batch_size {batch_size} not divisible by world_size {world}'
+    rng = np.random.RandomState(args.seed + rank)
     loss_cfg_s1 = YOLOXLossConfig(num_classes=det_cfg.num_classes)
     loss_cfg_s2 = loss_cfg_s1._replace(use_l1=True)
     step_fns = {
@@ -194,26 +229,28 @@ def main():
         stage2 = epoch >= max_epochs - num_last
         t0 = time.perf_counter()
         for it in range(steps_per_epoch):
-            idx = rng.randint(0, len(dataset), batch_size)
+            idx = rng.randint(0, len(dataset), local_batch)
             batch = make_batch(dataset, idx, scale, args.max_gt, rng, stage2)
             batch = shard_batch(batch, mesh)
             state, losses = step_fns[stage2](state, batch)
-            if it % 50 == 0:
+            if it % 50 == 0 and rank == 0:
                 print(f'epoch {epoch} it {it}/{steps_per_epoch} '
                       f'loss {float(losses["loss"]):.4f} '
                       f'(cls {float(losses["loss_cls"]):.3f} '
                       f'bbox {float(losses["loss_bbox"]):.3f} '
                       f'obj {float(losses["loss_obj"]):.3f}) '
                       f'pos {int(losses["num_pos"])}', flush=True)
-        print(f'epoch {epoch} done in {time.perf_counter()-t0:.1f}s',
-              flush=True)
-        ckpt.maybe_save(epoch, jax.device_get(state))
-        if args.val_interval and (epoch + 1) % args.val_interval == 0:
-            run_validation(state)
+        if rank == 0:
+            print(f'epoch {epoch} done in {time.perf_counter()-t0:.1f}s',
+                  flush=True)
+            ckpt.maybe_save(epoch, jax.device_get(state))
+            if args.val_interval and (epoch + 1) % args.val_interval == 0:
+                run_validation(state)
 
-    final = extract_detector_variables(jax.device_get(state))
-    save_checkpoint(os.path.join(work_dir, 'detector_final.ckpt'), final)
-    print(f'saved detector to {work_dir}/detector_final.ckpt')
+    if rank == 0:
+        final = extract_detector_variables(jax.device_get(state))
+        save_checkpoint(os.path.join(work_dir, 'detector_final.ckpt'), final)
+        print(f'saved detector to {work_dir}/detector_final.ckpt')
 
 
 if __name__ == '__main__':
