@@ -14,7 +14,20 @@ from typing import Any, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvBNAct, CSPLayer, Focus, SPPFBottleneck, make_round, widen
+from .layers import (ConvBNAct, CSPLayer, Focus, SPPFBottleneck, make_round,
+                     space_to_depth, widen)
+
+
+def _use_s2d(x, train: bool) -> bool:
+    """Use the space-to-depth stem/stage1 evaluation when shapes allow.
+
+    The s2d form is mathematically identical (exact kernel remap, same
+    parameters) but ~8x faster on TPU at 1080p because the low-channel
+    high-resolution convs stop padding their 3/32-channel minor dims to the
+    128-lane tile. Train mode keeps the canonical form: BN batch statistics
+    match either way, but the canonical path keeps gradients simplest.
+    """
+    return (not train) and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
 
 # P5 arch table: in_ch, out_ch, num_blocks, add_identity, use_spp
 P5_ARCH = [
@@ -35,9 +48,9 @@ class _Stage(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, s2d_in: bool = False):
         x = ConvBNAct(self.out_channels, 3, strides=2, dtype=self.dtype,
-                      name='conv')(x, train)
+                      name='conv')(x, train, s2d_in=s2d_in)
         if self.use_spp:
             x = SPPFBottleneck(self.out_channels, self.spp_kernel_sizes,
                                dtype=self.dtype, name='spp')(x, train)
@@ -58,16 +71,19 @@ class CSPDarknet(nn.Module):
     def __call__(self, x, train: bool = False):
         if isinstance(x, dict):
             x = x['img']
+        s2d = _use_s2d(x, train) and 0 not in self.out_indices
         outs = []
         x = Focus(widen(64, self.widen_factor), dtype=self.dtype,
-                  name='stem')(x, train)
+                  name='stem')(space_to_depth(x, 4) if s2d else x,
+                               train, s2d=s2d)
         if 0 in self.out_indices:
             outs.append(x)
         for i, (_, out_ch, n, ident, spp) in enumerate(P5_ARCH):
             x = _Stage(widen(out_ch, self.widen_factor),
                        make_round(n, self.deepen_factor), ident, spp,
                        self.spp_kernel_sizes, dtype=self.dtype,
-                       name=f'stage{i + 1}')(x, train)
+                       name=f'stage{i + 1}')(x, train,
+                                             s2d_in=s2d and i == 0)
             if i + 1 in self.out_indices:
                 outs.append(x)
         return tuple(outs)
@@ -93,19 +109,21 @@ class CSPDarknetDual(nn.Module):
         img = x['img']
         disp = x['disp_postp']
         wf, df = self.widen_factor, self.deepen_factor
+        s2d = _use_s2d(img, train)
 
         outs = []
-        o_rgb = Focus(widen(64, wf), dtype=self.dtype, name='stem')(img, train)
-        o_disp = Focus(widen(64, wf), dtype=self.dtype,
-                       name='disp_stem')(disp, train)
+        o_rgb = Focus(widen(64, wf), dtype=self.dtype, name='stem')(
+            space_to_depth(img, 4) if s2d else img, train, s2d=s2d)
+        o_disp = Focus(widen(64, wf), dtype=self.dtype, name='disp_stem')(
+            space_to_depth(disp, 4) if s2d else disp, train, s2d=s2d)
 
         s1 = P5_ARCH[0]
         o_rgb = _Stage(widen(s1[1], wf), make_round(s1[2], df), s1[3], s1[4],
                        self.spp_kernel_sizes, dtype=self.dtype,
-                       name='stage1')(o_rgb, train)
+                       name='stage1')(o_rgb, train, s2d_in=s2d)
         o_disp = _Stage(widen(s1[1], wf), make_round(s1[2], df), s1[3], s1[4],
                         self.spp_kernel_sizes, dtype=self.dtype,
-                        name='disp_stage1')(o_disp, train)
+                        name='disp_stage1')(o_disp, train, s2d_in=s2d)
 
         y = (o_rgb + o_disp) / 2.0
         if 1 in self.out_indices:
