@@ -119,17 +119,32 @@ class MOTChallengeMetrics(MOTDroneMetrics):
 
 class MOTKittiMetrics(MOTDroneMetrics):
     """KITTI-format tracking evaluation (reference mot_kitti_metrics.py):
-    no depth filter; ``dump_kitti_txt`` writes the KITTI row layout."""
+    no depth filter; ``dump_kitti_txt`` writes the KITTI row layout;
+    ``process_frame_kitti`` + ``evaluate_kitti`` run the devkit protocol
+    (per-class car/pedestrian scoring with neighboring-class distractors,
+    occlusion/truncation/height ignores and DontCare regions — see
+    kitti_protocol.py)."""
 
     def __init__(self, iou_threshold: float = 0.5,
                  outfile_dir: Optional[str] = None,
                  class_names: Sequence[str] = ('Car', 'Pedestrian'),
+                 classes_eval: Sequence[str] = ('car', 'pedestrian'),
                  **kwargs):
         super().__init__(depth_thr=float('inf'), ignore_depth=True,
                          iou_threshold=iou_threshold,
                          outfile_dir=outfile_dir)
         self.class_names = class_names
         self._pred_labels = defaultdict(dict)
+        from .kitti_protocol import KittiEvaluator
+        self.kitti = KittiEvaluator(classes_eval, iou_threshold)
+
+    def process_frame_kitti(self, video, frame, **kw):
+        """Full-annotation streaming entry for the devkit protocol; see
+        KittiEvaluator.process_frame for the keyword surface."""
+        self.kitti.process_frame(video, frame, **kw)
+
+    def evaluate_kitti(self):
+        return self.kitti.evaluate()
 
     def process_frame(self, video, frame, gt_ids, gt_bboxes, gt_depths,
                       pred_ids, pred_bboxes, pred_depths,
