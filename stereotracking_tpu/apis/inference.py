@@ -92,3 +92,52 @@ def inference_mot(model: OCSORTDisparity, img: np.ndarray,
             depth=np.asarray(res.track_depths)[tv],
             gt_depth=np.asarray(res.track_gt_depths)[tv],
             scales=np.asarray(res.track_scales)[tv]))
+
+
+def init_sot_model(tracker: str = 'siamrpn', variables=None,
+                   rng_seed: int = 0, **cfg_kwargs):
+    """Build a single-object tracker (reference ``inference_sot`` stack,
+    apis/inference.py:132-175).
+
+    ``tracker``: 'siamrpn' | 'stark'. Without ``variables`` the model is
+    randomly initialized (capability/API use; real tracking needs trained
+    weights loaded via the checkpoint utilities)."""
+    import jax
+
+    if tracker == 'siamrpn':
+        from ..models.sot import SiamRPNModule, SiamRPNTestCfg, SiamRPNTracker
+        cfg = SiamRPNTestCfg(**cfg_kwargs)
+        if variables is None:
+            m = SiamRPNModule(center_size=cfg.center_size)
+            z = jnp.zeros((1, cfg.exemplar_size, cfg.exemplar_size, 3))
+            x = jnp.zeros((1, cfg.search_size, cfg.search_size, 3))
+            variables = m.init(jax.random.PRNGKey(rng_seed), z, x)
+        return SiamRPNTracker(variables, cfg)
+    if tracker == 'stark':
+        from ..models.sot.stark import StarkModule, StarkTestCfg, StarkTracker
+        cfg = StarkTestCfg(**cfg_kwargs)
+        if variables is None:
+            m = StarkModule(cfg)
+            z = jnp.zeros((1, cfg.template_size, cfg.template_size, 3))
+            zm = jnp.zeros((1, cfg.template_size, cfg.template_size))
+            x = jnp.zeros((1, cfg.search_size, cfg.search_size, 3))
+            xm = jnp.zeros((1, cfg.search_size, cfg.search_size))
+            variables = m.init(jax.random.PRNGKey(rng_seed),
+                               [z, z], [zm, zm], x, xm)
+        return StarkTracker(variables, cfg)
+    raise ValueError(f'unknown SOT tracker {tracker!r}')
+
+
+def inference_sot(model, img: np.ndarray, init_bbox=None, state=None):
+    """Per-frame SOT API (reference apis/inference.py:132-175 shape):
+    pass ``init_bbox`` (xyxy) on the first frame; thread the returned
+    ``state`` afterwards. Returns (state, dict(bboxes, scores))."""
+    if init_bbox is not None:
+        state = model.init(img, init_bbox)
+        x1, y1, x2, y2 = [float(v) for v in init_bbox]
+        return state, dict(bboxes=np.asarray([[x1, y1, x2, y2]]),
+                           scores=np.asarray([1.0]))
+    assert state is not None, 'provide init_bbox on the first frame'
+    state, (bbox, score) = model.track(img, state)
+    return state, dict(bboxes=np.asarray(bbox)[None],
+                       scores=np.asarray([float(score)]))
