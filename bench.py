@@ -37,19 +37,29 @@ def make_frames(n, h, w, seed=0):
     return frames
 
 
-def tpu_responsive(timeout_s: float = 150.0) -> bool:
+def tpu_responsive(timeout_s: float = 150.0, attempts: int = 3) -> bool:
     """Probe the accelerator in a subprocess: a wedged TPU session hangs
-    forever on the first op and cannot be interrupted in-process."""
+    forever on the first op and cannot be interrupted in-process.
+
+    Retries: the dev tunnel occasionally takes minutes to grant a session
+    right after another client released it — a transient that must not be
+    mistaken for a wedge (it cost two bench runs a CPU fallback)."""
     import subprocess
     import sys
     code = ('import jax, jax.numpy as jnp;'
             'print(float((jnp.ones((8,8)) @ jnp.ones((8,8)))[0,0]))')
-    try:
-        r = subprocess.run([sys.executable, '-c', code], timeout=timeout_s,
-                           capture_output=True, text=True)
-        return r.returncode == 0 and '8.0' in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, '-c', code],
+                               timeout=timeout_s,
+                               capture_output=True, text=True)
+            if r.returncode == 0 and '8.0' in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt < attempts - 1:
+            time.sleep(20)
+    return False
 
 
 def main():

@@ -3,8 +3,9 @@
 The reference registers three extra motion modules
 (/root/reference/mmtrack/models/motion/__init__.py): ``LinearMotion``
 (linear_motion.py), ``CameraMotionCompensation`` (ECC,
-camera_motion_compensation.py) and ``FlowNetSimple`` (VID-only, out of
-scope with that zoo).  This module provides the first two:
+camera_motion_compensation.py) and ``FlowNetSimple``.  The first two live here; FlowNetSimple is
+implemented with the VID family (models/vid/flownet.py) and re-exported
+below:
 
 * ``LinearMotion`` as pure fixed-shape JAX over (T, 4) observation
   histories — vmap-able across track slots and usable inside ``lax.scan``;
@@ -132,3 +133,10 @@ class CameraMotionCompensation:
         (warped_bboxes, warp_matrix)."""
         warp = self.get_warp_matrix(img, ref_img)
         return warp_bboxes(jnp.asarray(bboxes), jnp.asarray(warp)), warp
+
+
+# ---------------------------------------------------------------------------
+# FlowNetSimple re-export: the reference registers it as a motion model
+# (motion/__init__.py) though only the VID family consumes it.
+# ---------------------------------------------------------------------------
+from .vid.flownet import FlowNetSimple, flow_warp_feats  # noqa: E402,F401
