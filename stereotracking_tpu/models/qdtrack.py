@@ -1,0 +1,278 @@
+"""QDTrack: quasi-dense embedding head, bisoftmax tracker, and the
+multi-positive contrastive training losses — fixed-slot TPU-native.
+
+Re-creates:
+
+* head     /root/reference/mmtrack/models/track_heads/
+  quasi_dense_embed_head.py (4 convs + 1 fc -> 256-d embedding; multi-pos
+  cross-entropy track loss + L2 auxiliary loss)
+* tracker  /root/reference/mmtrack/models/trackers/quasi_dense_tracker.py
+  (score-ordered intra-frame dedup with backdrop/class IoU thresholds,
+  bisoftmax matching against the track+backdrop memory, greedy
+  column-claiming assignment, momentum embeds, velocity accumulation,
+  backdrop ring)
+
+The reference's python dict memory becomes two fixed arrays (track slots
++ one backdrop buffer); the order-dependent greedy loops are exact
+``lax.fori_loop`` transcriptions.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+_NEG = -1e9
+
+
+class QuasiDenseEmbedHead(nn.Module):
+    """RoI feature -> track embedding (quasi_dense_embed_head.py: 4 convs
+    of 256 + single fc, linear output)."""
+    conv_channels: int = 256
+    num_convs: int = 4
+    fc_dim: int = 1024
+    embed_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_convs):
+            x = nn.relu(nn.Conv(self.conv_channels, (3, 3), padding=1,
+                                dtype=self.dtype, name=f'conv{i}')(x))
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype, name='fc')(x))
+        return nn.Dense(self.embed_channels, dtype=self.dtype,
+                        name='embed')(x)
+
+
+class QDTrackConfig(NamedTuple):
+    num_slots: int = 128
+    num_backdrops: int = 64
+    init_score_thr: float = 0.8
+    obj_score_thr: float = 0.5
+    match_score_thr: float = 0.5
+    memo_tracklet_frames: int = 10
+    memo_momentum: float = 0.8
+    nms_conf_thr: float = 0.5
+    nms_backdrop_iou_thr: float = 0.3
+    nms_class_iou_thr: float = 0.7
+    with_cats: bool = True
+    embed_dim: int = 256
+
+
+class QDTrackState(NamedTuple):
+    bbox: jnp.ndarray          # (K, 4)
+    embed: jnp.ndarray         # (K, E)
+    label: jnp.ndarray         # (K,)
+    score: jnp.ndarray         # (K,)
+    ids: jnp.ndarray           # (K,)
+    velocity: jnp.ndarray      # (K, 4)
+    acc_frame: jnp.ndarray     # (K,)
+    last_frame: jnp.ndarray    # (K,)
+    valid: jnp.ndarray         # (K,)
+    bd_bbox: jnp.ndarray       # (B, 4) backdrops (previous frame)
+    bd_embed: jnp.ndarray      # (B, E)
+    bd_label: jnp.ndarray      # (B,)
+    bd_valid: jnp.ndarray      # (B,)
+    num_tracks: jnp.ndarray    # ()
+
+
+def init_state(cfg: QDTrackConfig) -> QDTrackState:
+    k, b, e = cfg.num_slots, cfg.num_backdrops, cfg.embed_dim
+    return QDTrackState(
+        jnp.zeros((k, 4)), jnp.zeros((k, e)), jnp.zeros((k,), jnp.int32),
+        jnp.zeros((k,)), jnp.full((k,), -1, jnp.int32), jnp.zeros((k, 4)),
+        jnp.zeros((k,)), jnp.full((k,), -(10 ** 6), jnp.int32),
+        jnp.zeros((k,), bool),
+        jnp.zeros((b, 4)), jnp.zeros((b, e)), jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), bool), jnp.zeros((), jnp.int32))
+
+
+def _iou(b1, b2):
+    lt = jnp.maximum(b1[:, None, :2], b2[None, :, :2])
+    rb = jnp.minimum(b1[:, None, 2:], b2[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    a1 = (b1[:, 2] - b1[:, 0]) * (b1[:, 3] - b1[:, 1])
+    a2 = (b2[:, 2] - b2[:, 0]) * (b2[:, 3] - b2[:, 1])
+    return inter / jnp.maximum(a1[:, None] + a2[None] - inter, 1e-10)
+
+
+@partial(jax.jit, static_argnames=('cfg',))
+def qdtrack_step(state: QDTrackState, bboxes, scores, labels, embeds,
+                 det_valid, frame_id, cfg: QDTrackConfig):
+    """One association step over score-DESCENDING-sorted detections
+    (sorting happens inside). Returns (new_state, ids aligned to the
+    INPUT detection order; -1 dropped, -2 suppressed-by-confidence)."""
+    n = bboxes.shape[0]
+    order = jnp.argsort(jnp.where(det_valid, -scores, 1e9))
+    bboxes = bboxes[order]
+    scores = scores[order]
+    labels = labels[order]
+    embeds = embeds[order]
+    det_valid = det_valid[order]
+
+    # intra-frame dedup (tracker :243-255): det i dies if it overlaps a
+    # surviving earlier det beyond its score-dependent threshold
+    ious_dd = _iou(bboxes, bboxes)
+    thr_i = jnp.where(scores < cfg.obj_score_thr,
+                      cfg.nms_backdrop_iou_thr, cfg.nms_class_iou_thr)
+
+    def dedup_body(i, keep):
+        earlier = (jnp.arange(n) < i) & keep
+        clash = ((ious_dd[i] > thr_i[i]) & earlier).any()
+        return keep.at[i].set(keep[i] & ~clash)
+
+    keep = jax.lax.fori_loop(0, n, dedup_body, det_valid)
+
+    # memory = tracks ++ backdrops (memo property :154-188)
+    m_embed = jnp.concatenate([state.embed, state.bd_embed], 0)
+    m_label = jnp.concatenate([state.label, state.bd_label], 0)
+    m_ids = jnp.concatenate([state.ids,
+                             jnp.full((cfg.num_backdrops,), -1,
+                                      jnp.int32)], 0)
+    m_valid = jnp.concatenate([state.valid, state.bd_valid], 0)
+
+    feats = embeds @ m_embed.T                          # (N, M)
+    feats = jnp.where(keep[:, None] & m_valid[None, :], feats, _NEG)
+    d2t = jax.nn.softmax(feats, axis=1)
+    t2d = jax.nn.softmax(feats, axis=0)
+    match = (d2t + t2d) / 2.0                           # bisoftmax
+    if cfg.with_cats:
+        match = match * (labels[:, None] == m_label[None, :])
+    match = jnp.where(keep[:, None] & m_valid[None, :], match, 0.0)
+
+    # greedy assignment in score order, claiming memo columns (:283-302)
+    def assign_body(i, carry):
+        ids, mt, num = carry
+        conf = mt[i].max()
+        ind = mt[i].argmax()
+        mid = m_ids[ind]
+        good = keep[i] & (conf > cfg.match_score_thr)
+        take = good & (mid > -1) & (scores[i] > cfg.obj_score_thr)
+        suppress = good & (mid > -1) & (scores[i] <= cfg.obj_score_thr) \
+            & (conf > cfg.nms_conf_thr)
+        ids = ids.at[i].set(jnp.where(take, mid,
+                                      jnp.where(suppress, -2, -1)))
+        # zero the claimed column for all other detections
+        col = jnp.where(take, ind, mt.shape[1])
+        mt = jnp.where(
+            (jnp.arange(mt.shape[1])[None, :] == col)
+            & (jnp.arange(n)[:, None] != i), 0.0, mt)
+        return ids, mt, num
+
+    ids0 = jnp.full((n,), -1, jnp.int32)
+    ids, _, _ = jax.lax.fori_loop(0, n, assign_body,
+                                  (ids0, match, state.num_tracks))
+
+    is_new = keep & (ids == -1) & (scores > cfg.init_score_thr)
+    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    ids = jnp.where(is_new, state.num_tracks + new_rank, ids)
+    num_tracks = state.num_tracks + is_new.sum()
+
+    # ---- memory update (update :83-151) ---------------------------------
+    def upd_body(i, st):
+        (bbox_, embed_, label_, score_, sids, vel, accf, lastf,
+         valid) = st
+        tracked = keep[i] & (ids[i] > -1)
+        same = sids == ids[i]
+        exists = (same & valid).any()
+        slot_same = jnp.argmax(same & valid)
+        free = ~valid
+        stale = jnp.argmin(jnp.where(valid, lastf, -(10 ** 9)))
+        slot_new = jnp.where(free.any(), jnp.argmax(free), stale)
+        s = jnp.where(exists, slot_same, slot_new)
+
+        dt = jnp.maximum(frame_id - lastf[s], 1).astype(jnp.float32)
+        v_new = (bboxes[i] - bbox_[s]) / dt
+        v_acc = (vel[s] * accf[s] + v_new) / (accf[s] + 1)
+        m = cfg.memo_momentum
+        e_upd = (1 - m) * embed_[s] + m * embeds[i]
+
+        def w(a, old, new):
+            return a.at[s].set(jnp.where(
+                tracked, jnp.where(exists, new, old), a[s]))
+
+        bbox_ = bbox_.at[s].set(jnp.where(tracked, bboxes[i], bbox_[s]))
+        embed_ = w(embed_, embeds[i], e_upd)
+        label_ = label_.at[s].set(jnp.where(tracked, labels[i], label_[s]))
+        score_ = score_.at[s].set(jnp.where(tracked, scores[i], score_[s]))
+        sids = sids.at[s].set(jnp.where(tracked, ids[i], sids[s]))
+        vel = w(vel, jnp.zeros(4), v_acc)
+        accf = w(accf, 0.0, accf[s] + 1)
+        lastf = lastf.at[s].set(jnp.where(tracked, frame_id, lastf[s]))
+        valid = valid.at[s].set(jnp.where(tracked, True, valid[s]))
+        return (bbox_, embed_, label_, score_, sids, vel, accf, lastf,
+                valid)
+
+    upd = jax.lax.fori_loop(
+        0, n, upd_body,
+        (state.bbox, state.embed, state.label, state.score, state.ids,
+         state.velocity, state.acc_frame, state.last_frame, state.valid))
+    bbox_, embed_, label_, score_, sids, vel, accf, lastf, valid = upd
+
+    # retention (:142-147)
+    valid = valid & (frame_id - lastf < cfg.memo_tracklet_frames)
+
+    # backdrops: unmatched dets, deduped against ALL dets at backdrop IoU
+    # (:127-140); memo_backdrop_frames=1 -> replace the buffer
+    bd_cand = keep & (ids == -1)
+
+    def bd_body(i, sel):
+        earlier = (jnp.arange(n) < i)
+        clash = ((ious_dd[i] > cfg.nms_backdrop_iou_thr)
+                 & earlier & det_valid).any()
+        return sel.at[i].set(sel[i] & ~clash)
+
+    bd_sel = jax.lax.fori_loop(0, n, bd_body, bd_cand)
+    b = cfg.num_backdrops
+    order_bd = jnp.argsort(~bd_sel)
+    take = order_bd[:b]
+    bd_valid = bd_sel[take]
+    bd_bbox = bboxes[take]
+    bd_embed = embeds[take]
+    bd_label = labels[take]
+
+    new_state = QDTrackState(bbox_, embed_, label_, score_, sids, vel,
+                             accf, lastf, valid, bd_bbox, bd_embed,
+                             bd_label, bd_valid, num_tracks)
+    # return ids in the caller's original detection order
+    inv = jnp.argsort(order)
+    return new_state, ids[inv]
+
+
+# ---------------------------------------------------------------------------
+# training losses (quasi_dense_embed_head.py:231-350)
+# ---------------------------------------------------------------------------
+
+def multi_pos_cross_entropy(sim: jnp.ndarray, pos: jnp.ndarray,
+                            valid: jnp.ndarray) -> jnp.ndarray:
+    """Multi-positive cross-entropy over a key-vs-ref similarity matrix
+    (mmtrack MultiPosCrossEntropyLoss): per row,
+    ``log(1 + sum_neg exp(s_n) * sum_pos exp(-s_p))``."""
+    neg = valid & ~pos
+    pos_term = jnp.where(pos, -sim, _NEG)
+    neg_term = jnp.where(neg, sim, _NEG)
+    lse_pos = jax.nn.logsumexp(pos_term, axis=1)
+    lse_neg = jax.nn.logsumexp(neg_term, axis=1)
+    row_has_pos = pos.any(axis=1)
+    loss = jnp.log1p(jnp.exp(lse_pos + lse_neg))
+    return jnp.where(row_has_pos, loss, 0.0).sum() \
+        / jnp.maximum(row_has_pos.sum(), 1)
+
+
+def qdtrack_aux_loss(key_embeds: jnp.ndarray, ref_embeds: jnp.ndarray,
+                     pos: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Auxiliary cosine-similarity L2 loss: cosine of matched pairs pulled
+    to 1, unmatched to 0 (loss_track_aux L2Loss semantics)."""
+    k = key_embeds / jnp.maximum(
+        jnp.linalg.norm(key_embeds, axis=1, keepdims=True), 1e-12)
+    r = ref_embeds / jnp.maximum(
+        jnp.linalg.norm(ref_embeds, axis=1, keepdims=True), 1e-12)
+    cos = k @ r.T
+    tgt = pos.astype(jnp.float32)
+    err = (cos - tgt) ** 2 * valid
+    return err.sum() / jnp.maximum(valid.sum(), 1)

@@ -1,0 +1,103 @@
+"""QDTrack: bisoftmax tracker behavior and contrastive losses
+(reference: mmtrack/models/trackers/quasi_dense_tracker.py,
+mmtrack/models/track_heads/quasi_dense_embed_head.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereotracking_tpu.models.qdtrack import (
+    QDTrackConfig, QuasiDenseEmbedHead, init_state, multi_pos_cross_entropy,
+    qdtrack_aux_loss, qdtrack_step)
+
+CFG = QDTrackConfig(num_slots=8, num_backdrops=4, embed_dim=4)
+
+
+def _dets(boxes, scores, labels=None, embeds=None):
+    boxes = jnp.asarray(boxes, jnp.float32).reshape(-1, 4)
+    n = len(boxes)
+    labels = jnp.zeros(n, jnp.int32) if labels is None \
+        else jnp.asarray(labels, jnp.int32)
+    embeds = jnp.asarray(embeds, jnp.float32) if embeds is not None \
+        else jnp.eye(n, CFG.embed_dim)
+    return (boxes, jnp.asarray(scores, jnp.float32), labels, embeds,
+            jnp.ones(n, bool))
+
+
+def test_init_and_continue_by_embedding():
+    st = init_state(CFG)
+    e = [[5., 0., 0., 0.]]
+    st, ids = qdtrack_step(st, *_dets([[10, 10, 50, 50]], [0.9], embeds=e),
+                           0, CFG)
+    assert list(np.asarray(ids)) == [0]
+    st, ids = qdtrack_step(st, *_dets([[60, 10, 100, 50]], [0.9], embeds=e),
+                           1, CFG)
+    assert list(np.asarray(ids)) == [0]
+    assert int(st.num_tracks) == 1
+
+
+def test_low_score_cannot_initialize():
+    st = init_state(CFG)
+    st, ids = qdtrack_step(st, *_dets([[10, 10, 50, 50]], [0.6]), 0, CFG)
+    # 0.6 > obj thr but below init thr 0.8 -> no track
+    assert list(np.asarray(ids)) == [-1]
+    assert int(st.valid.sum()) == 0
+
+
+def test_intra_frame_dedup_backdrop_thr():
+    """A low-score det overlapping a higher-score one above 0.3 IoU is
+    removed (tracker :243-255)."""
+    st = init_state(CFG)
+    boxes = [[10, 10, 50, 50], [12, 12, 52, 52]]
+    st, ids = qdtrack_step(st, *_dets(boxes, [0.9, 0.4]), 0, CFG)
+    ids = np.asarray(ids)
+    assert ids[0] == 0 and ids[1] == -1
+    # only one backdrop (the suppressed det is gone entirely)
+    assert int(st.bd_valid.sum()) == 0
+
+
+def test_unmatched_det_becomes_backdrop():
+    st = init_state(CFG)
+    boxes = [[10, 10, 50, 50], [200, 10, 240, 50]]
+    # second det below init thr -> backdrop
+    st, ids = qdtrack_step(st, *_dets(boxes, [0.9, 0.6]), 0, CFG)
+    assert int(st.bd_valid.sum()) == 1
+
+
+def test_track_expires_after_retention():
+    st = init_state(CFG)
+    e = [[5., 0., 0., 0.]]
+    st, _ = qdtrack_step(st, *_dets([[10, 10, 50, 50]], [0.9], embeds=e),
+                         0, CFG)
+    empty = (jnp.zeros((1, 4)), jnp.zeros(1), jnp.zeros(1, jnp.int32),
+             jnp.zeros((1, CFG.embed_dim)), jnp.zeros(1, bool))
+    st2 = st
+    for f in range(1, CFG.memo_tracklet_frames + 1):
+        st2, _ = qdtrack_step(st2, *empty, f, CFG)
+    assert int(st2.valid.sum()) == 0
+
+
+def test_multi_pos_cross_entropy_behavior():
+    # perfect separation -> small loss; inverted -> large loss
+    sim_good = jnp.asarray([[10.0, -10.0]])
+    sim_bad = jnp.asarray([[-10.0, 10.0]])
+    pos = jnp.asarray([[True, False]])
+    valid = jnp.ones((1, 2), bool)
+    lg = float(multi_pos_cross_entropy(sim_good, pos, valid))
+    lb = float(multi_pos_cross_entropy(sim_bad, pos, valid))
+    assert lg < 1e-6 and lb > 10
+
+
+def test_aux_loss_zero_for_ideal_embeddings():
+    k = jnp.asarray([[1., 0.], [0., 1.]])
+    r = jnp.asarray([[1., 0.], [0., 1.]])
+    pos = jnp.eye(2, dtype=bool)
+    valid = jnp.ones((2, 2), bool)
+    assert float(qdtrack_aux_loss(k, r, pos, valid)) < 1e-6
+
+
+def test_embed_head_shape_and_grads():
+    h = QuasiDenseEmbedHead(conv_channels=8, fc_dim=16, embed_channels=4)
+    x = jnp.zeros((3, 7, 7, 8))
+    v = h.init(jax.random.PRNGKey(0), x)
+    out = h.apply(v, x)
+    assert out.shape == (3, 4)

@@ -1,0 +1,103 @@
+"""StrongSORT/DeepSORT/SORT fixed-slot tracker behavior (reference:
+mmtrack/models/trackers/strongsort_tracker.py:60-264 and the SORT base)."""
+import jax.numpy as jnp
+import numpy as np
+
+from stereotracking_tpu.models.strongsort import (
+    SSTrackState, StrongSORTConfig, crop_resize_boxes, init_state,
+    strongsort_step)
+
+CFG = StrongSORTConfig(num_slots=8, embed_dim=4)
+
+
+def _dets(boxes, scores, labels=None, embeds=None):
+    boxes = jnp.asarray(boxes, jnp.float32).reshape(-1, 4)
+    n = len(boxes)
+    scores = jnp.asarray(scores, jnp.float32)
+    labels = jnp.zeros(n, jnp.int32) if labels is None \
+        else jnp.asarray(labels, jnp.int32)
+    if embeds is None:
+        embeds = jnp.zeros((n, CFG.embed_dim))
+    return boxes, scores, labels, jnp.asarray(embeds, jnp.float32), \
+        jnp.ones(n, bool)
+
+
+def test_new_tracks_and_id_continuity_via_appearance():
+    st = init_state(CFG)
+    e1 = [[1., 0., 0., 0.]]
+    b1 = [[10., 10., 50., 50.]]
+    st, ids = strongsort_step(st, *_dets(b1, [0.9], embeds=e1), 0, CFG)
+    assert list(np.asarray(ids)) == [0]
+    # confirm (num_tentatives=2)
+    st, ids = strongsort_step(st, *_dets(b1, [0.9], embeds=e1), 1, CFG)
+    assert list(np.asarray(ids)) == [0]
+    # moved box, same appearance -> stage-1 reid keeps the id
+    b2 = [[14., 12., 54., 52.]]
+    st, ids = strongsort_step(st, *_dets(b2, [0.9], embeds=e1), 2, CFG)
+    assert list(np.asarray(ids)) == [0]
+    assert int(st.valid.sum()) == 1
+
+
+def test_low_score_detections_dropped():
+    st = init_state(CFG)
+    st, ids = strongsort_step(
+        st, *_dets([[0., 0., 10., 10.]], [0.3]), 0, CFG)
+    assert list(np.asarray(ids)) == [-1]
+    assert int(st.valid.sum()) == 0
+
+
+def test_stage2_iou_fallback_for_tentative_track():
+    """A 1-frame-old (tentative) track cannot match in stage 1 (not
+    confirmed) but is caught by the stage-2 IoU pass (:206-230)."""
+    st = init_state(CFG)
+    b = [[10., 10., 60., 60.]]
+    e = [[0., 1., 0., 0.]]
+    st, ids = strongsort_step(st, *_dets(b, [0.9], embeds=e), 0, CFG)
+    # different appearance but overlapping box on the very next frame
+    e2 = [[1., 0., 0., 0.]]
+    st, ids = strongsort_step(st, *_dets(b, [0.9], embeds=e2), 1, CFG)
+    assert list(np.asarray(ids)) == [0]
+
+
+def test_class_mismatch_blocks_association():
+    st = init_state(CFG)
+    b = [[10., 10., 60., 60.]]
+    e = [[1., 0., 0., 0.]]
+    st, _ = strongsort_step(st, *_dets(b, [0.9], [0], e), 0, CFG)
+    st, _ = strongsort_step(st, *_dets(b, [0.9], [0], e), 1, CFG)
+    st, ids = strongsort_step(st, *_dets(b, [0.9], [1], e), 2, CFG)
+    assert list(np.asarray(ids)) == [1]      # new id, not 0
+
+
+def test_tentative_track_dies_after_one_miss():
+    st = init_state(CFG)
+    st, _ = strongsort_step(
+        st, *_dets([[10., 10., 60., 60.]], [0.9]), 0, CFG)
+    assert int(st.valid.sum()) == 1
+    # next frame: no detections -> tentative dies
+    empty = (jnp.zeros((1, 4)), jnp.zeros(1), jnp.zeros(1, jnp.int32),
+             jnp.zeros((1, CFG.embed_dim)), jnp.zeros(1, bool))
+    st, _ = strongsort_step(st, *empty, 1, CFG)
+    assert int(st.valid.sum()) == 0
+
+
+def test_sort_mode_motion_only():
+    cfg = StrongSORTConfig(num_slots=8, embed_dim=4, with_reid=False,
+                           use_nsa=False)
+    st = init_state(cfg)
+    b = [[10., 10., 60., 60.]]
+    st, ids = strongsort_step(st, *_dets(b, [0.9]), 0, cfg)
+    st, ids = strongsort_step(st, *_dets(b, [0.9]), 1, cfg)
+    st, ids = strongsort_step(
+        st, *_dets([[12., 11., 62., 61.]], [0.9]), 2, cfg)
+    assert list(np.asarray(ids)) == [0]
+
+
+def test_crop_resize_boxes_shapes_and_content():
+    img = jnp.asarray(np.arange(40 * 40 * 3).reshape(40, 40, 3),
+                      jnp.float32)
+    crops = crop_resize_boxes(img, jnp.asarray([[8., 8., 24., 24.]]),
+                              out_hw=(16, 16))
+    assert crops.shape == (1, 16, 16, 3)
+    np.testing.assert_allclose(np.asarray(crops[0]),
+                               np.asarray(img[8:24, 8:24]), atol=1e-4)
