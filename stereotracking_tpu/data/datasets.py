@@ -181,3 +181,89 @@ class MOTKittiDataset(MOTDispDataset):
 
     def __init__(self, *args, path_token: str = 'img2', **kwargs):
         super().__init__(*args, path_token=path_token, **kwargs)
+
+
+def ref_img_sampling(frame_id: int, video_length: int,
+                     frame_range, stride: int = 1, num_ref_imgs: int = 2,
+                     filter_key_img: bool = True,
+                     method: str = 'bilateral_uniform',
+                     rng=None) -> List[int]:
+    """Reference-frame sampling for video training/testing.
+
+    Exact semantics of BaseVideoDataset.ref_img_sampling
+    (/root/reference/mmtrack/datasets/base_video_dataset.py:386-515),
+    returning sorted reference FRAME IDS within the video:
+
+    * 'uniform': random frames inside ``frame_range`` around the key;
+    * 'bilateral_uniform': half the samples from each side;
+    * 'test_with_adaptive_stride': on frame 0 only, ``num_ref_imgs``
+      frames spread over the whole video with stride (len-1)/(n-1);
+    * 'test_with_fix_stride': frame 0 emits the initial window, then one
+      new reference every ``stride`` frames.
+    """
+    import random as _random
+    rng = rng or _random
+    if isinstance(frame_range, int):
+        assert frame_range >= 0
+        frame_range = [-frame_range, frame_range]
+    assert len(frame_range) == 2 and frame_range[0] <= 0 <= frame_range[1]
+
+    if frame_id < 0 or (frame_range[0] == 0 and frame_range[1] == 0):
+        return [frame_id] * num_ref_imgs
+
+    left = max(0, frame_id + frame_range[0])
+    right = min(frame_id + frame_range[1], video_length - 1)
+    frame_ids = list(range(video_length))
+    refs: List[int] = []
+    if method == 'uniform':
+        valid = frame_ids[left:right + 1]
+        if filter_key_img and frame_id in valid:
+            valid.remove(frame_id)
+        refs.extend(rng.sample(valid, min(num_ref_imgs, len(valid))))
+    elif method == 'bilateral_uniform':
+        assert num_ref_imgs % 2 == 0, 'only even num_ref_imgs supported'
+        for mode in ('left', 'right'):
+            valid = (frame_ids[left:frame_id + 1] if mode == 'left'
+                     else frame_ids[frame_id:right + 1])
+            if filter_key_img and frame_id in valid:
+                valid.remove(frame_id)
+            refs.extend(rng.sample(valid,
+                                   min(num_ref_imgs // 2, len(valid))))
+    elif method == 'test_with_adaptive_stride':
+        if frame_id == 0:
+            s = float(video_length - 1) / (num_ref_imgs - 1)
+            refs = [frame_ids[round(i * s)] for i in range(num_ref_imgs)]
+    elif method == 'test_with_fix_stride':
+        if frame_id == 0:
+            refs = [frame_ids[0]] * abs(frame_range[0])
+            for i in range(1, frame_range[1] + 1):
+                refs.append(frame_ids[min(round(i * stride),
+                                          video_length - 1)])
+        elif frame_id % stride == 0:
+            refs = [frame_ids[min(round(frame_id + frame_range[1] * stride),
+                                  video_length - 1)]]
+    else:
+        raise NotImplementedError(method)
+    return sorted(refs)
+
+
+def key_frame_indices(frame_ids: List[int], interval: int = 1) -> List[int]:
+    """Key-image sampling: keep frames whose id is a multiple of
+    ``interval`` (base_video_dataset.py:138-141)."""
+    return [i for i, f in enumerate(frame_ids) if f % interval == 0]
+
+
+def filter_valid_indices(dataset, min_size: int = 32,
+                         filter_empty_gt: bool = True) -> List[int]:
+    """Training-time data filtering (base_video_dataset.py:254-295):
+    drop images without annotations (when ``filter_empty_gt``) and images
+    smaller than ``min_size``. Returns dataset indices."""
+    out = []
+    for i in range(len(dataset)):
+        info = dataset.data_info(i)
+        if filter_empty_gt and len(info.get('bboxes', ())) == 0:
+            continue
+        if min(info['width'], info['height']) < min_size:
+            continue
+        out.append(i)
+    return out

