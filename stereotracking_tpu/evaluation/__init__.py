@@ -6,3 +6,6 @@ from .mot_metrics import (MOTChallengeMetrics, MOTDroneMetrics,  # noqa: F401
                           MOTKittiMetrics, gather_across_hosts)
 from .postprocess import interpolate_tracklets  # noqa: F401
 from .aflink import AFLinkModel, AppearanceFreeLink  # noqa: F401
+from .kitti_protocol import KittiEvaluator  # noqa: F401
+from .sot_metrics import SOTMetric, eval_sot_ope  # noqa: F401
+from .reid_metrics import evaluate_reid  # noqa: F401
