@@ -99,7 +99,7 @@ def init_sot_model(tracker: str = 'siamrpn', variables=None,
     """Build a single-object tracker (reference ``inference_sot`` stack,
     apis/inference.py:132-175).
 
-    ``tracker``: 'siamrpn' | 'stark'. Without ``variables`` the model is
+    ``tracker``: 'siamrpn' | 'stark' | 'prdimp'. Without ``variables`` the model is
     randomly initialized (capability/API use; real tracking needs trained
     weights loaded via the checkpoint utilities)."""
     import jax
@@ -113,6 +113,18 @@ def init_sot_model(tracker: str = 'siamrpn', variables=None,
             x = jnp.zeros((1, cfg.search_size, cfg.search_size, 3))
             variables = m.init(jax.random.PRNGKey(rng_seed), z, x)
         return SiamRPNTracker(variables, cfg)
+    if tracker == 'prdimp':
+        from ..models.sot.prdimp import (PrDiMPModule, PrDiMPTestCfg,
+                                         PrDiMPTracker)
+        cfg = PrDiMPTestCfg(**cfg_kwargs)
+        if variables is None:
+            m = PrDiMPModule(cfg)
+            s = cfg.img_sample_size
+            variables = m.init(jax.random.PRNGKey(rng_seed),
+                               jnp.zeros((1, s, s, 3)),
+                               jnp.asarray([[s * 0.25, s * 0.25,
+                                             s * 0.75, s * 0.75]]))
+        return PrDiMPTracker(variables, cfg)
     if tracker == 'stark':
         from ..models.sot.stark import StarkModule, StarkTestCfg, StarkTracker
         cfg = StarkTestCfg(**cfg_kwargs)

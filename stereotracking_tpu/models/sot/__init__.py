@@ -12,3 +12,7 @@ from .siamrpn import (ChannelMapperNeck, CorrelationHead,  # noqa: F401
                       siamese_rpn_anchors)
 from .siamrpn_loss import (SiamRPNTrainCfg, siamrpn_loss,  # noqa: F401
                            siamrpn_targets)
+from .prdimp import (PrDiMPModule, PrDiMPState,  # noqa: F401
+                     PrDiMPTestCfg, PrDiMPTracker)
+from .stark import (StarkModule, StarkState, StarkTestCfg,  # noqa: F401
+                    StarkTracker)
