@@ -9,3 +9,4 @@ from .aflink import AFLinkModel, AppearanceFreeLink  # noqa: F401
 from .kitti_protocol import KittiEvaluator  # noqa: F401
 from .sot_metrics import SOTMetric, eval_sot_ope  # noqa: F401
 from .reid_metrics import evaluate_reid  # noqa: F401
+from .track_ap import TAOMetric, TrackAPEvaluator, YTVISMetric  # noqa: F401

@@ -1,0 +1,78 @@
+"""Track AP (YouTube-VIS mask / TAO box) with hand-computed fixtures
+(reference: mmtrack/evaluation/metrics/youtube_vis_metrics.py semantics)."""
+import numpy as np
+
+from stereotracking_tpu.evaluation.track_ap import (
+    TAOMetric, YTVISMetric, bbox_track_iou, mask_track_iou)
+
+
+def _m(h=8, w=8, box=None):
+    m = np.zeros((h, w), bool)
+    if box:
+        m[box[1]:box[3], box[0]:box[2]] = True
+    return m
+
+
+def test_mask_track_iou_temporal_union():
+    gt = {0: _m(box=(0, 0, 4, 4)), 1: _m(box=(0, 0, 4, 4))}
+    pred = {0: _m(box=(0, 0, 4, 4))}          # missing frame 1
+    # inter = 16, union = 16 + 16 -> 0.5
+    assert abs(mask_track_iou(pred, gt) - 0.5) < 1e-9
+
+
+def test_bbox_track_iou():
+    gt = {0: np.array([0., 0., 10., 10.])}
+    pred = {0: np.array([0., 0., 10., 10.]), 1: np.array([0., 0., 10., 10.])}
+    # frame0 inter 100 / union 100; frame1 adds 100 union -> 0.5
+    assert abs(bbox_track_iou(pred, gt) - 0.5) < 1e-9
+
+
+def test_perfect_prediction_full_ap():
+    ev = YTVISMetric()
+    t = {0: _m(box=(0, 0, 4, 4)), 1: _m(box=(1, 0, 5, 4))}
+    ev.add_gt_track('v', 0, t)
+    ev.add_pred_track('v', 0, 0.9, t)
+    out = ev.evaluate()
+    assert abs(out['track_mAP'] - 1.0) < 1e-6
+    assert abs(out['track_AP50'] - 1.0) < 1e-6
+
+
+def test_wrong_video_no_match():
+    ev = YTVISMetric()
+    t = {0: _m(box=(0, 0, 4, 4))}
+    ev.add_gt_track('v1', 0, t)
+    ev.add_pred_track('v2', 0, 0.9, t)
+    assert ev.evaluate()['track_mAP'] == 0.0
+
+
+def test_half_overlap_passes_only_low_thresholds():
+    ev = TAOMetric()
+    ev.add_gt_track('v', 3, {0: np.array([0., 0., 10., 10.])})
+    # IoU exactly 0.5 (half-width box fully inside)
+    ev.add_pred_track('v', 3, 0.9, {0: np.array([0., 0., 5., 10.])})
+    out = ev.evaluate()
+    assert abs(out['track_AP50'] - 1.0) < 1e-6
+    assert out['track_AP75'] == 0.0
+    # mean over 10 thresholds: only 0.50 passes
+    assert abs(out['track_mAP'] - 0.1) < 1e-6
+
+
+def test_duplicate_predictions_penalize_precision():
+    ev = YTVISMetric()
+    t = {0: _m(box=(0, 0, 4, 4))}
+    ev.add_gt_track('v', 0, t)
+    ev.add_pred_track('v', 0, 0.9, t)
+    ev.add_pred_track('v', 0, 0.8, t)     # duplicate -> FP
+    out = ev.evaluate()
+    # recall 1 at precision 1 (first pred) -> AP still 1.0 under COCO
+    # interpolation since max precision at every recall level is 1
+    assert abs(out['track_mAP'] - 1.0) < 1e-6
+
+    ev2 = YTVISMetric()
+    ev2.add_gt_track('v', 0, t)
+    ev2.add_pred_track('v', 0, 0.9, {0: _m(box=(4, 4, 8, 8))})  # FP first?
+    ev2.add_pred_track('v', 0, 0.95, {0: _m(box=(4, 4, 8, 8))})
+    ev2.add_pred_track('v', 0, 0.5, t)
+    out2 = ev2.evaluate()
+    # the TP ranks third: precision at recall 1 is 1/3
+    assert abs(out2['track_mAP'] - 1 / 3) < 1e-6
