@@ -40,9 +40,16 @@ def init_distributed(coordinator: Optional[str] = None,
 
     if not num_processes or num_processes == 1:
         return 0, 1
+    # Generous shutdown barrier: ranks compile their programs
+    # independently, and on a cold compilation cache the slowest rank can
+    # trail the fastest by more than the 300 s default (observed in the
+    # 2-process CPU eval test), which fails the coordination-service
+    # shutdown barrier even though both ranks finish correctly.
+    shutdown_timeout = int(os.environ.get('STTPU_SHUTDOWN_TIMEOUT', '1200'))
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
-                               process_id=process_id)
+                               process_id=process_id,
+                               shutdown_timeout_seconds=shutdown_timeout)
     return jax.process_index(), jax.process_count()
 
 

@@ -1,0 +1,145 @@
+"""SOT data layer: SiamFC crop math, Stark crops, bbox jitter, frame
+sampling, and the GOT10k/LaSOT dataset readers on a synthetic on-disk
+layout (reference: mmtrack/datasets/transforms/{transforms,processing}.py,
+mmtrack/datasets/got10k_dataset.py)."""
+import os
+
+import numpy as np
+import pytest
+
+from stereotracking_tpu.data.sot import (
+    Got10kDataset, LaSOTDataset, SOTVideoDataset, blur_aug, brightness_aug,
+    crop_like_siamfc, crop_like_stark, dimp_sampling, gray_aug,
+    pair_sampling, seq_bbox_jitter, siamfc_generated_box, trident_sampling)
+
+
+def test_siamfc_crop_shape_and_generated_box():
+    img = (np.random.RandomState(0).rand(120, 160, 3) * 255)
+    bbox = np.array([60., 40., 100., 80.])
+    crop = crop_like_siamfc(img, bbox, crop_size=255)
+    assert crop.shape == (255, 255, 3)
+    gen = siamfc_generated_box((255, 255), bbox)
+    # centered square-ish box: center at crop center
+    assert abs((gen[0] + gen[2]) / 2 - 127) < 1
+    assert abs((gen[1] + gen[3]) / 2 - 127) < 1
+    # exemplar-size scaling: a square bbox of side s maps to
+    # s * 127/(s*(1+2*ctx... )) -- just check sane bounds
+    assert 0 < gen[2] - gen[0] < 127
+
+
+def test_stark_crop_mask_and_bbox_transform():
+    img = np.full((100, 120, 3), 200.0)
+    gt = np.array([40., 30., 80., 70.])
+    crop, mask, out_bbox = crop_like_stark(img, gt, gt, 2.0, 64)
+    assert crop.shape == (64, 64, 3) and mask.shape == (64, 64)
+    # interior crop -> no padding
+    assert mask.max() == 0.0
+    # gt box maps to the center with size scaled by 64/80
+    cx = (out_bbox[0] + out_bbox[2]) / 2
+    assert abs(cx - 32) < 1.5
+    assert abs((out_bbox[2] - out_bbox[0]) - 40 * 64 / 80) < 1.5
+    # corner crop produces padding
+    gt2 = np.array([0., 0., 20., 20.])
+    _, mask2, _ = crop_like_stark(img, gt2, gt2, 2.0, 64)
+    assert mask2.max() > 0
+
+
+def test_seq_bbox_jitter_reproducible_and_valid():
+    rng = np.random.RandomState(0)
+    out = seq_bbox_jitter([np.array([10., 10., 50., 50.])] * 2,
+                          [0.25, 0.25], [3.0, 3.0], [2.0, 2.0], rng)
+    assert len(out) == 2
+    for b in out:
+        assert b[2] > b[0] and b[3] > b[1]
+
+
+def _vinfo(n, vid=0):
+    return dict(video_id=vid, video_length=n,
+                img_paths=[f'{i}.jpg' for i in range(n)],
+                frame_ids=list(range(n)),
+                bboxes=np.tile([0, 0, 10, 10], (n, 1)).astype(np.float32),
+                bboxes_isvalid=np.ones(n, bool),
+                visible=np.ones(n, bool))
+
+
+def test_pair_sampling_positive_and_negative():
+    rng = np.random.RandomState(1)
+    v1, v2 = _vinfo(30, 0), _vinfo(30, 1)
+    pos = pair_sampling(v1, v2, frame_range=5, pos_prob=1.0, rng=rng)
+    assert pos['is_positive']
+    t_idx = pos['template'][1]
+    s_idx = pos['search'][1]
+    assert abs(s_idx - t_idx) <= 5
+    neg = pair_sampling(v1, v2, frame_range=5, pos_prob=0.0, rng=rng)
+    assert not neg['is_positive']
+    assert neg['search'][0]['video_id'] == 1
+
+
+def test_trident_and_dimp_sampling():
+    rng = np.random.RandomState(2)
+    v = _vinfo(50)
+    tr = trident_sampling(v, rng=rng)
+    assert tr is not None and len(tr['template_inds']) == 2
+    dm = dimp_sampling(v, rng=rng)
+    assert dm is not None
+    assert max(dm['template_inds']) <= min(dm['search_inds'])
+    # all-invisible video -> None
+    v['visible'][:] = False
+    assert trident_sampling(v, rng=rng) is None
+
+
+def test_augs_shapes():
+    rng = np.random.RandomState(3)
+    img = rng.rand(20, 20, 3) * 255
+    assert brightness_aug(img, rng=rng).shape == img.shape
+    g = gray_aug(img, prob=1.0, rng=rng)
+    assert np.allclose(g[..., 0], g[..., 1])
+    assert blur_aug(img, prob=1.0, rng=rng).shape == img.shape
+
+
+@pytest.fixture
+def got10k_disk(tmp_path):
+    import PIL.Image
+    for vid in ['video_a', 'video_b']:
+        d = tmp_path / vid
+        d.mkdir()
+        boxes = []
+        for i in range(5):
+            PIL.Image.fromarray(
+                np.zeros((40, 60, 3), np.uint8)).save(d / f'{i:08d}.jpg')
+            boxes.append([5 + i, 6, 20, 18])
+        np.savetxt(d / 'groundtruth.txt', np.asarray(boxes), fmt='%d',
+                   delimiter=',')
+        np.savetxt(d / 'absence.label', [0, 0, 1, 0, 0], fmt='%d')
+        np.savetxt(d / 'cover.label', [8, 8, 8, 0, 8], fmt='%d')
+    return tmp_path
+
+
+def test_got10k_reader(got10k_disk):
+    ds = Got10kDataset(str(got10k_disk))
+    assert len(ds) == 2
+    info = ds.video_info(0)
+    assert info['video_length'] == 5
+    assert info['bboxes'].shape == (5, 4)
+    # frame 2 absent, frame 3 fully covered -> invisible
+    np.testing.assert_array_equal(info['visible'],
+                                  [True, True, False, False, True])
+    # xywh -> xyxy
+    np.testing.assert_allclose(info['bboxes'][0], [5, 6, 25, 24])
+
+
+def test_lasot_reader(tmp_path):
+    import PIL.Image
+    d = tmp_path / 'v'
+    (d / 'img').mkdir(parents=True)
+    for i in range(3):
+        PIL.Image.fromarray(
+            np.zeros((30, 30, 3), np.uint8)).save(
+                d / 'img' / f'{i + 1:08d}.jpg')
+    np.savetxt(d / 'groundtruth.txt', [[1, 1, 5, 5]] * 3, fmt='%d',
+               delimiter=',')
+    np.savetxt(d / 'full_occlusion.txt', [[0, 1, 0]], fmt='%d',
+               delimiter=',')
+    ds = LaSOTDataset(str(tmp_path))
+    info = ds.video_info(0)
+    np.testing.assert_array_equal(info['visible'], [True, False, True])
