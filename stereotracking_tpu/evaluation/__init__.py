@@ -10,3 +10,5 @@ from .kitti_protocol import KittiEvaluator  # noqa: F401
 from .sot_metrics import SOTMetric, eval_sot_ope  # noqa: F401
 from .reid_metrics import evaluate_reid  # noqa: F401
 from .track_ap import TAOMetric, TrackAPEvaluator, YTVISMetric  # noqa: F401
+from .vot_metrics import (eval_sot_accuracy_robustness,  # noqa: F401
+                          eval_sot_eao)

@@ -31,3 +31,21 @@ def yolox_schedule(base_lr: float, steps_per_epoch: int,
         return lr
 
     return schedule
+
+
+def siamrpn_exp_schedule(base_lr: float, steps_per_epoch: int,
+                         num_epochs: int, start_factor: float = 0.1,
+                         end_factor: float = 1.0, endpoint: bool = True):
+    """SiamRPN exponential LR warm ramp
+    (engine/schedulers/siamrpn_exp_scheduler.py): each epoch multiplies
+    by (end/start)^(1/epochs) so the factor moves from ``start_factor``
+    to ``end_factor`` geometrically over ``num_epochs`` epochs."""
+    import jax.numpy as jnp
+    denom = (num_epochs - 1) if endpoint and num_epochs > 1 else num_epochs
+    ratio = (end_factor / start_factor) ** (1.0 / max(denom, 1))
+
+    def schedule(step):
+        epoch = jnp.minimum(step // steps_per_epoch, num_epochs - 1)
+        return base_lr * start_factor * ratio ** epoch
+
+    return schedule
