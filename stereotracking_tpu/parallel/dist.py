@@ -50,6 +50,18 @@ def init_distributed(coordinator: Optional[str] = None,
                                num_processes=num_processes,
                                process_id=process_id,
                                shutdown_timeout_seconds=shutdown_timeout)
+    # Establish the Gloo CPU-collective context NOW, while the ranks are
+    # still in lockstep: the context's key-value address exchange has a
+    # hard 30 s timeout inside XLA, and the first real collective happens
+    # only after each rank independently compiles + evaluates its share —
+    # a skew that routinely exceeds 30 s on a cold compile cache
+    # ("Gloo context initialization failed: GetKeyValue() timed out").
+    # A coordination-service barrier bounds the skew to ~ms, then a tiny
+    # allgather creates the context for the device set.
+    from jax.experimental import multihost_utils
+    import jax.numpy as jnp
+    multihost_utils.sync_global_devices('sttpu_dist_init')
+    multihost_utils.process_allgather(jnp.zeros((1,), jnp.int32))
     return jax.process_index(), jax.process_count()
 
 
