@@ -392,3 +392,30 @@ class TrackingNetDataset(SOTVideoDataset):
                     frame_ids=list(range(n)),
                     bboxes=xyxy[:n].astype(np.float32),
                     bboxes_isvalid=valid, visible=valid.copy())
+
+
+class RandomSampleConcatDataset:
+    """Weighted random sampling over several datasets
+    (/root/reference/mmtrack/datasets/dataset_wrappers.py:11-59): each
+    __getitem__ ignores the index, samples a dataset by weight and a
+    uniform item within it, retrying on None results."""
+
+    def __init__(self, datasets: Sequence, weights=None, rng=None):
+        self.datasets = list(datasets)
+        if weights is None:
+            weights = [1.0] * len(self.datasets)
+        assert all(w >= 0 for w in weights) and sum(weights) > 0
+        total = float(sum(weights))
+        self.probs = [w / total for w in weights]
+        self.rng = rng or np.random
+
+    def __len__(self):
+        return sum(len(d) for d in self.datasets)
+
+    def __getitem__(self, _ind: int):
+        while True:
+            di = int(self.rng.choice(len(self.datasets), p=self.probs))
+            ds = self.datasets[di]
+            item = ds[int(self.rng.randint(0, len(ds)))]
+            if item is not None:
+                return item
