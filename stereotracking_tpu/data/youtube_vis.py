@@ -13,7 +13,6 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from .coco_video import CocoVideo
-from .datasets import MOTDispDataset
 
 YOUTUBE_VIS_2019_CLASSES = (
     'person', 'giant_panda', 'lizard', 'parrot', 'skateboard', 'sedan',
