@@ -419,3 +419,99 @@ class RandomSampleConcatDataset:
             item = ds[int(self.rng.randint(0, len(ds)))]
             if item is not None:
                 return item
+
+
+class OTB100Dataset(SOTVideoDataset):
+    """OTB: per-video ``groundtruth_rect.txt`` with comma- or
+    tab-separated x,y,w,h (otb_dataset.py; a handful of sequences start
+    at an ``init_omit`` offset — supported via the optional
+    ``init_omit`` map)."""
+
+    def __init__(self, data_root, video_names=None,
+                 init_omit: Optional[Dict[str, int]] = None):
+        super().__init__(data_root, video_names)
+        self.init_omit = init_omit or {}
+
+    def video_info(self, idx: int) -> dict:
+        name = self.video_names[idx]
+        vdir = osp.join(self.data_root, name)
+        frames = self._frames(vdir)
+        gt_file = osp.join(vdir, 'groundtruth_rect.txt')
+        rows = []
+        with open(gt_file) as f:
+            for line in f:
+                line = line.strip().replace('\t', ',').replace(' ', ',')
+                if line:
+                    rows.append([float(v) for v in line.split(',') if v])
+        bboxes = np.asarray(rows, np.float64).reshape(-1, 4)
+        omit = self.init_omit.get(name, 0)
+        bboxes = bboxes[omit:]
+        frames = frames[omit:]
+        xyxy = np.concatenate([bboxes[:, :2],
+                               bboxes[:, :2] + bboxes[:, 2:]], 1)
+        n = min(len(frames), len(xyxy))
+        valid = (bboxes[:n, 2] > 0) & (bboxes[:n, 3] > 0)
+        return dict(video_id=idx, video_length=n, img_paths=frames[:n],
+                    frame_ids=list(range(n)),
+                    bboxes=xyxy[:n].astype(np.float32),
+                    bboxes_isvalid=valid, visible=valid.copy())
+
+
+class UAV123Dataset(OTB100Dataset):
+    """UAV123 shares the OTB groundtruth_rect layout (uav123_dataset.py);
+    NaN rows mark out-of-view frames."""
+
+    def video_info(self, idx: int) -> dict:
+        info = super().video_info(idx)
+        nan = np.isnan(info['bboxes']).any(axis=1)
+        info['bboxes'] = np.nan_to_num(info['bboxes'])
+        info['bboxes_isvalid'] &= ~nan
+        info['visible'] &= ~nan
+        return info
+
+
+class VOTDataset(SOTVideoDataset):
+    """VOT: per-video ``groundtruth.txt`` of 8-value rotated polygons
+    (vot_dataset.py); boxes are the polygon's axis-aligned hull, the
+    polygon is kept under ``polygons`` for region-overlap evaluation."""
+
+    def video_info(self, idx: int) -> dict:
+        name = self.video_names[idx]
+        vdir = osp.join(self.data_root, name)
+        frames = self._frames(vdir)
+        if not frames:
+            import glob
+            frames = sorted(glob.glob(osp.join(vdir, 'color', '*.jpg')))
+        rows = np.loadtxt(osp.join(vdir, 'groundtruth.txt'),
+                          delimiter=',', ndmin=2, dtype=np.float64)
+        if rows.shape[1] == 4:
+            xyxy = np.concatenate([rows[:, :2],
+                                   rows[:, :2] + rows[:, 2:]], 1)
+            polys = None
+        else:
+            xs = rows[:, 0::2]
+            ys = rows[:, 1::2]
+            xyxy = np.stack([xs.min(1), ys.min(1), xs.max(1), ys.max(1)], 1)
+            polys = rows
+        n = min(len(frames), len(xyxy))
+        valid = (xyxy[:n, 2] > xyxy[:n, 0]) & (xyxy[:n, 3] > xyxy[:n, 1])
+        info = dict(video_id=idx, video_length=n, img_paths=frames[:n],
+                    frame_ids=list(range(n)),
+                    bboxes=xyxy[:n].astype(np.float32),
+                    bboxes_isvalid=valid, visible=valid.copy())
+        if polys is not None:
+            info['polygons'] = polys[:n].astype(np.float32)
+        return info
+
+
+def siamrpn_unfreeze_prefixes(epoch: int, unfreeze_epoch: int = 10,
+                              backbone_stages: int = 4):
+    """SiamRPN backbone unfreeze schedule
+    (engine/hooks/siamrpn_backbone_unfreeze_hook.py): before
+    ``unfreeze_epoch`` the whole backbone is frozen; afterwards only the
+    stem + stage 1 stay frozen. Returns parameter-path prefixes for the
+    optimizer mask (see models/sot/resnet.frozen_param_paths)."""
+    if epoch < unfreeze_epoch:
+        return tuple(['conv1'] + [f'layer{i}_'
+                                  for i in range(1, backbone_stages + 1)])
+    return ('conv1', 'layer1_')

@@ -143,3 +143,61 @@ def test_lasot_reader(tmp_path):
     ds = LaSOTDataset(str(tmp_path))
     info = ds.video_info(0)
     np.testing.assert_array_equal(info['visible'], [True, False, True])
+
+
+def test_otb_reader_with_init_omit(tmp_path):
+    import PIL.Image
+    d = tmp_path / 'Biker'
+    d.mkdir()
+    for i in range(4):
+        PIL.Image.fromarray(np.zeros((20, 20, 3), np.uint8)).save(
+            d / f'{i:04d}.jpg')
+    (d / 'groundtruth_rect.txt').write_text(
+        '1,2,5,5\n2\t3\t5\t5\n3,4,5,5\n4,5,5,5\n')
+    from stereotracking_tpu.data.sot import OTB100Dataset
+    ds = OTB100Dataset(str(tmp_path), init_omit={'Biker': 1})
+    info = ds.video_info(0)
+    assert info['video_length'] == 3
+    np.testing.assert_allclose(info['bboxes'][0], [2, 3, 7, 8])
+
+
+def test_vot_reader_polygon_hull(tmp_path):
+    import PIL.Image
+    d = tmp_path / 'seq'
+    d.mkdir()
+    for i in range(2):
+        PIL.Image.fromarray(np.zeros((20, 20, 3), np.uint8)).save(
+            d / f'{i:08d}.jpg')
+    (d / 'groundtruth.txt').write_text(
+        '1,1,9,1,9,5,1,5\n2,2,8,2,8,6,2,6\n')
+    from stereotracking_tpu.data.sot import VOTDataset
+    ds = VOTDataset(str(tmp_path))
+    info = ds.video_info(0)
+    np.testing.assert_allclose(info['bboxes'][0], [1, 1, 9, 5])
+    assert info['polygons'].shape == (2, 8)
+
+
+def test_siamrpn_unfreeze_prefixes():
+    from stereotracking_tpu.data.sot import siamrpn_unfreeze_prefixes
+    assert 'layer4_' in siamrpn_unfreeze_prefixes(0)
+    assert siamrpn_unfreeze_prefixes(10) == ('conv1', 'layer1_')
+
+
+def test_random_sample_concat():
+    from stereotracking_tpu.data.sot import RandomSampleConcatDataset
+
+    class Toy:
+        def __init__(self, tag, n):
+            self.tag, self.n = tag, n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return self.tag
+
+    rng = np.random.RandomState(0)
+    ds = RandomSampleConcatDataset([Toy('a', 5), Toy('b', 5)],
+                                   weights=[1.0, 0.0], rng=rng)
+    assert len(ds) == 10
+    assert all(ds[i] == 'a' for i in range(20))
