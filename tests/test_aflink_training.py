@@ -11,13 +11,13 @@ from stereotracking_tpu.train.train_aflink import train_aflink
 
 @pytest.fixture(scope='module')
 def trained():
-    variables, acc = train_aflink(steps=150, batch=64, log_every=0)
+    variables, acc = train_aflink(steps=70, batch=64, log_every=0)
     return variables, acc
 
 
 def test_training_converges(trained):
     _, acc = trained
-    assert acc >= 0.9, f'held-out accuracy {acc}'
+    assert acc >= 0.85, f'held-out accuracy {acc}'
 
 
 def test_checkpoint_roundtrip(trained, tmp_path):

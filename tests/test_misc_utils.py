@@ -56,8 +56,10 @@ def test_make_disp_cutout_zeroes_valid_cut_pixels():
 
 
 def test_completion_loss_runs_and_is_finite():
-    cfg = DetectorConfig()
-    module = YOLOXDisp(cfg=cfg, head_channels=64)
+    # tiny deepen/widen: the assertion targets the loss plumbing, and the
+    # full-size backbone costs ~2 min of CPU compile per suite run
+    cfg = DetectorConfig(deepen_factor=0.1, widen_factor=0.125)
+    module = YOLOXDisp(cfg=cfg, head_channels=16)
     h, w, g = 64, 96, 4
     rng = np.random.RandomState(0)
     batch = {
@@ -90,7 +92,7 @@ def test_completion_loss_runs_and_is_finite():
 
 def test_reid_embedding_and_losses():
     from stereotracking_tpu.models.reid import BaseReID, reid_losses
-    m = BaseReID(embed_dim=64, num_classes=5, widen_factor=0.25)
+    m = BaseReID(embed_dim=64, num_classes=5, widen_factor=0.125)
     crops = jnp.asarray(
         np.random.RandomState(0).rand(4, 64, 32, 3).astype(np.float32))
     v = m.init(jax.random.PRNGKey(0), crops, train=False)
