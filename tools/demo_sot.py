@@ -28,6 +28,10 @@ def parse_args():
                    help='write x,y,w,h per frame (GOT10k submission row)')
     p.add_argument('--show-dir', default=None,
                    help='render the tracked box every frame')
+    p.add_argument('--cfg-options', nargs='*', default=[],
+                   metavar='KEY=VALUE',
+                   help='tracker test-config overrides, e.g. '
+                        'exemplar_size=63 search_size=127')
     return p.parse_args()
 
 
@@ -47,9 +51,13 @@ def main():
         with open(args.checkpoint, 'rb') as f:
             raw = f.read()
         # structural restore against a freshly initialized tree
-        model0 = init_sot_model(args.tracker)
+        model0 = init_sot_model(args.tracker)  # canonical sizes
         variables = serialization.from_bytes(model0.variables, raw)
-    model = init_sot_model(args.tracker, variables=variables)
+    overrides = {}
+    for kv in args.cfg_options:
+        k, v = kv.split('=', 1)
+        overrides[k] = float(v) if '.' in v else int(v)
+    model = init_sot_model(args.tracker, variables=variables, **overrides)
 
     frames = sorted(glob.glob(os.path.join(args.frames, '*.jpg'))
                     + glob.glob(os.path.join(args.frames, '*.png')))
