@@ -485,3 +485,45 @@ def fpn_roi_align(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
         out = jnp.where(sel, v, 0.0) if out is None \
             else out + jnp.where(sel, v, 0.0)
     return out
+
+
+def faster_rcnn_train_step_fn(module: FasterRCNN, cfg: TwoStageConfig):
+    """Build the jitted Faster R-CNN training loss: RPN (BCE+L1 over
+    sampled anchors) + RCNN (CE+L1 over sampled rois with gt added as
+    proposals) — the two-stage loss path DFF/FGFA/SELSA train through
+    (selsa.py:84-118). Returns ``loss_fn(params, rest, batch, key)``
+    with batch = {img (1,H,W,3), gt_bboxes (G,4), gt_labels (G,),
+    gt_valid (G,)}."""
+
+    def loss_fn(params, rest, batch, key):
+        variables = {'params': params, **rest}
+        img = batch['img']
+        feat, updates = module.apply(
+            variables, img, train=True, mutable=['batch_stats'],
+            method=FasterRCNN.extract_feat)
+        variables = {'params': params, **{**rest, **updates}}
+        cls, reg = module.apply(variables, feat, True,
+                                method=FasterRCNN.rpn)
+        h, w = feat.shape[1], feat.shape[2]
+        anchors = jnp.asarray(standard_anchors(
+            h, w, cfg.stride, cfg.anchor_scales, cfg.anchor_ratios))
+        k1, k2 = jax.random.split(key)
+        losses = rpn_loss(cls[0], reg[0], anchors, batch['gt_bboxes'],
+                          batch['gt_valid'], k1)
+
+        rois, _, valid = rpn_proposals(
+            jax.lax.stop_gradient(cls[0]), jax.lax.stop_gradient(reg[0]),
+            anchors, (img.shape[1], img.shape[2]), cfg)
+        s_rois, labels, reg_t, pos, s_valid = rcnn_sample_rois(
+            rois, valid, batch['gt_bboxes'], batch['gt_labels'],
+            batch['gt_valid'], k2)
+        rf = module.apply(variables, feat[0], s_rois,
+                          method=FasterRCNN.roi_feats)
+        ccls, creg, _ = module.apply(variables, rf, True,
+                                    method=FasterRCNN.roi_forward)
+        losses.update(rcnn_loss(ccls, creg, labels, reg_t, pos, s_valid,
+                                cfg.num_classes))
+        total = sum(losses.values())
+        return total, (losses, updates)
+
+    return loss_fn

@@ -146,3 +146,49 @@ def test_rpn_proposals_fixed_shape():
     b = np.asarray(boxes)[np.asarray(valid).astype(bool)]
     assert (b[:, 0] >= 0).all() and (b[:, 2] <= 160).all()
     assert (b[:, 1] >= 0).all() and (b[:, 3] <= 128).all()
+
+
+def test_faster_rcnn_training_reduces_loss():
+    """A few SGD steps on one synthetic image must reduce the combined
+    RPN+RCNN loss (the two-stage train path VID models rely on)."""
+    import optax
+    from stereotracking_tpu.models.two_stage import (FasterRCNN,
+                                                     faster_rcnn_train_step_fn)
+
+    cfg = TwoStageConfig(num_classes=3, num_proposals=32, rpn_nms_pre=64,
+                         rcnn_max_per_img=8)
+    module = FasterRCNN(cfg)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    variables = module.init(jax.random.PRNGKey(0), img)
+    params = variables['params']
+    rest = {k: v for k, v in variables.items() if k != 'params'}
+    batch = dict(
+        img=img,
+        gt_bboxes=jnp.asarray([[10., 10., 50., 40.],
+                               [60., 20., 90., 55.]]),
+        gt_labels=jnp.asarray([0, 2]),
+        gt_valid=jnp.ones(2, bool))
+
+    loss_fn = faster_rcnn_train_step_fn(module, cfg)
+    tx = optax.sgd(1e-3, momentum=0.9)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, rest, opt, key):
+        (total, (losses, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, rest, batch, key)
+        upd, opt = tx.update(grads, opt, params)
+        params = optax.apply_updates(params, upd)
+        rest = {**rest, **updates}
+        return params, rest, opt, total, losses
+
+    totals = []
+    for i in range(6):
+        params, rest, opt, total, losses = step(
+            params, rest, opt, jax.random.PRNGKey(7))  # fixed sampling
+        totals.append(float(total))
+        assert np.isfinite(totals[-1])
+    assert totals[-1] < totals[0], totals
+    assert {'loss_rpn_cls', 'loss_rpn_bbox', 'loss_cls',
+            'loss_bbox'} <= set(losses)
