@@ -515,3 +515,23 @@ def siamrpn_unfreeze_prefixes(epoch: int, unfreeze_epoch: int = 10,
         return tuple(['conv1'] + [f'layer{i}_'
                                   for i in range(1, backbone_stages + 1)])
     return ('conv1', 'layer1_')
+
+
+def check_pad_mask_validity(masks: Sequence[np.ndarray],
+                            stride: int = 16) -> bool:
+    """CheckPadMaskValidity (datasets/transforms/formatting.py): a Stark
+    training sample is usable only if every crop keeps at least one
+    fully-valid (non-padded) cell at feature stride — an all-padding
+    attention mask would starve the transformer. Returns False when any
+    mask fails (callers resample, like RandomSampleConcatDataset)."""
+    for m in masks:
+        m = np.asarray(m)
+        h, w = m.shape[0] // stride * stride, m.shape[1] // stride * stride
+        if h == 0 or w == 0:
+            return False
+        cells = m[:h, :w].reshape(h // stride, stride,
+                                  w // stride, stride)
+        cell_pad = cells.max(axis=(1, 3))      # 1 where any padding
+        if (cell_pad > 0).all():
+            return False
+    return True

@@ -201,3 +201,15 @@ def test_random_sample_concat():
                                    weights=[1.0, 0.0], rng=rng)
     assert len(ds) == 10
     assert all(ds[i] == 'a' for i in range(20))
+
+
+def test_check_pad_mask_validity():
+    from stereotracking_tpu.data.sot import check_pad_mask_validity
+    good = np.zeros((32, 32))
+    assert check_pad_mask_validity([good], stride=16)
+    bad = np.ones((32, 32))
+    assert not check_pad_mask_validity([bad], stride=16)
+    # padding everywhere except one full cell -> valid
+    partial = np.ones((32, 32))
+    partial[:16, :16] = 0
+    assert check_pad_mask_validity([partial], stride=16)
