@@ -48,9 +48,25 @@ class _Stage(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, s2d_in: bool = False):
+    def __call__(self, x, train: bool = False, s2d_in: bool = False,
+                 fold_out: bool = False, fold_in: bool = False):
+        """``s2d_in``: first conv consumes s2d(2) input. ``fold_out``:
+        with s2d_in, emit the whole stage W-folded (CSP runs folded —
+        the 32/64-channel intermediates fill the 128-lane tile).
+        ``fold_in``: first conv consumes a W-folded input (standard
+        output)."""
+        if fold_out:
+            assert s2d_in and not self.use_spp
+            x = ConvBNAct(self.out_channels, 3, strides=2,
+                          dtype=self.dtype, name='conv')(
+                              x, train, conv_mode='s2d2_in_fold_out')
+            return CSPLayer(self.out_channels, self.num_blocks,
+                            self.add_identity, dtype=self.dtype,
+                            name='csp')(x, train, fold=True)
+        mode = 's2d2_in' if s2d_in else (
+            'fold_consume' if fold_in else None)
         x = ConvBNAct(self.out_channels, 3, strides=2, dtype=self.dtype,
-                      name='conv')(x, train, s2d_in=s2d_in)
+                      name='conv')(x, train, conv_mode=mode)
         if self.use_spp:
             x = SPPFBottleneck(self.out_channels, self.spp_kernel_sizes,
                                dtype=self.dtype, name='spp')(x, train)
@@ -84,12 +100,15 @@ class CSPDarknet(nn.Module):
                                train, s2d=s2d)
         if 0 in self.out_indices:
             outs.append(x)
+        fold = s2d and 1 not in self.out_indices
         for i, (_, out_ch, n, ident, spp) in enumerate(P5_ARCH):
             x = _Stage(widen(out_ch, self.widen_factor),
                        make_round(n, self.deepen_factor), ident, spp,
                        self.spp_kernel_sizes, dtype=self.dtype,
                        name=f'stage{i + 1}')(x, train,
-                                             s2d_in=s2d and i == 0)
+                                             s2d_in=s2d and i == 0,
+                                             fold_out=fold and i == 0,
+                                             fold_in=fold and i == 1)
             if i + 1 in self.out_indices:
                 outs.append(x)
         return tuple(outs)
@@ -126,12 +145,15 @@ class CSPDarknetDual(nn.Module):
             space_to_depth(disp, 4) if s2d else disp, train, s2d=s2d)
 
         s1 = P5_ARCH[0]
+        fold = s2d and 1 not in self.out_indices and not self.out_fd
         o_rgb = _Stage(widen(s1[1], wf), make_round(s1[2], df), s1[3], s1[4],
                        self.spp_kernel_sizes, dtype=self.dtype,
-                       name='stage1')(o_rgb, train, s2d_in=s2d)
+                       name='stage1')(o_rgb, train, s2d_in=s2d,
+                                      fold_out=fold)
         o_disp = _Stage(widen(s1[1], wf), make_round(s1[2], df), s1[3], s1[4],
                         self.spp_kernel_sizes, dtype=self.dtype,
-                        name='disp_stage1')(o_disp, train, s2d_in=s2d)
+                        name='disp_stage1')(o_disp, train, s2d_in=s2d,
+                                            fold_out=fold)
 
         y = (o_rgb + o_disp) / 2.0
         if 1 in self.out_indices:
@@ -141,7 +163,8 @@ class CSPDarknetDual(nn.Module):
             _, out_ch, n, ident, spp = P5_ARCH[i]
             y = _Stage(widen(out_ch, wf), make_round(n, df), ident, spp,
                        self.spp_kernel_sizes, dtype=self.dtype,
-                       name=f'stage{i + 1}')(y, train)
+                       name=f'stage{i + 1}')(y, train,
+                                             fold_in=fold and i == 1)
             if i + 1 in self.out_indices:
                 outs.append(y)
 

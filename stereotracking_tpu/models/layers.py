@@ -41,25 +41,30 @@ class ConvBNAct(nn.Module):
     act: Callable = nn.silu
 
     @nn.compact
-    def __call__(self, x, train: bool = False, s2d_in: bool = False):
-        if s2d_in:
-            # x carries a stride-2 3x3 conv's input in space_to_depth(., 2)
-            # layout; evaluate the mathematically identical 2x2 stride-1
-            # conv (stage_kernel_to_s2d2). The canonical (3, 3, C, O)
-            # kernel is declared manually so the parameter tree is
-            # identical to the nn.Conv path.
-            import jax.lax as lax
-            assert self.kernel_size == 3 and self.strides == 2 \
-                and self.groups == 1
-            c = x.shape[-1] // 4
-            kernel = _ConvKernel((3, 3, c, self.out_channels),
-                                 name='conv')()
-            w = stage_kernel_to_s2d2(kernel).astype(self.dtype)
-            x = lax.conv_general_dilated(
-                x.astype(self.dtype), w, (1, 1),
-                padding=[(1, 0), (1, 0)],
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-        else:
+    def __call__(self, x, train: bool = False, s2d_in: bool = False,
+                 conv_mode: str = None):
+        """``conv_mode`` selects a mathematically identical evaluation
+        with exact kernel remaps on the SAME canonical parameter:
+
+        - None: plain nn.Conv.
+        - 's2d2_in' (== legacy ``s2d_in=True``): input in s2d(2) layout,
+          standard output (stage_kernel_to_s2d2).
+        - 's2d2_in_fold_out': input s2d(2), output W-folded
+          (stage_kernel_to_s2d2_folded).
+        - 'fold': input AND output W-folded, stride-1 1x1/3x3
+          (conv1x1/conv3x3_kernel_folded).
+        - 'fold_concat': like 'fold' but the input is the concatenation
+          of two folded halves (CSP final conv).
+        - 'fold_consume': input W-folded, stride-2 3x3 with standard
+          output (consume_folded_kernel).
+        """
+        import jax.lax as lax
+        if s2d_in and conv_mode is None:
+            conv_mode = 's2d2_in'
+
+        folded_out = conv_mode in ('s2d2_in_fold_out', 'fold',
+                                   'fold_concat')
+        if conv_mode is None:
             x = nn.Conv(
                 self.out_channels,
                 (self.kernel_size, self.kernel_size),
@@ -69,13 +74,58 @@ class ConvBNAct(nn.Module):
                 use_bias=False,
                 dtype=self.dtype,
                 name='conv')(x)
-        x = nn.BatchNorm(
+        else:
+            assert self.groups == 1
+            if conv_mode in ('s2d2_in', 's2d2_in_fold_out'):
+                assert self.kernel_size == 3 and self.strides == 2
+                c = x.shape[-1] // 4
+            elif conv_mode == 'fold_concat':
+                c = x.shape[-1] // 2          # canonical (concat) channels
+            elif conv_mode == 'fold_consume':
+                assert self.kernel_size == 3 and self.strides == 2
+                c = x.shape[-1] // 2
+            else:
+                c = x.shape[-1] // 2
+            kernel = _ConvKernel(
+                (self.kernel_size, self.kernel_size, c,
+                 self.out_channels), name='conv')()
+            if conv_mode == 's2d2_in':
+                w = stage_kernel_to_s2d2(kernel)
+                strides, padding = (1, 1), [(1, 0), (1, 0)]
+            elif conv_mode == 's2d2_in_fold_out':
+                w = stage_kernel_to_s2d2_folded(kernel)
+                strides, padding = (1, 2), [(1, 0), (1, 2)]
+            elif conv_mode == 'fold':
+                w = (conv1x1_kernel_folded(kernel)
+                     if self.kernel_size == 1
+                     else conv3x3_kernel_folded(kernel))
+                strides, padding = (1, 1), 'SAME' \
+                    if self.kernel_size == 3 else [(0, 0), (0, 0)]
+            elif conv_mode == 'fold_concat':
+                assert self.kernel_size == 1
+                w = concat1x1_kernel_folded(kernel, c // 2)
+                strides, padding = (1, 1), [(0, 0), (0, 0)]
+            elif conv_mode == 'fold_consume':
+                w = consume_folded_kernel(kernel)
+                strides, padding = (2, 1), [(1, 1), (1, 0)]
+            else:
+                raise ValueError(conv_mode)
+            x = lax.conv_general_dilated(
+                x.astype(self.dtype), w.astype(self.dtype), strides,
+                padding=padding,
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+        bn = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
             dtype=self.dtype,
-            name='bn')(x)
-        return self.act(x)
+            name='bn')
+        if folded_out:
+            n, h, wd, _ = x.shape
+            x = bn(x.reshape(n, h, wd, 2, self.out_channels))
+            return self.act(x).reshape(n, h, wd, 2 * self.out_channels)
+        return self.act(bn(x))
 
 
 def focus_kernel_to_strided(w: jnp.ndarray) -> jnp.ndarray:
@@ -261,11 +311,13 @@ class DarknetBottleneck(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, fold: bool = False):
         hidden = self.out_channels
-        out = ConvBNAct(hidden, 1, dtype=self.dtype, name='conv1')(x, train)
+        mode = 'fold' if fold else None
+        out = ConvBNAct(hidden, 1, dtype=self.dtype, name='conv1')(
+            x, train, conv_mode=mode)
         out = ConvBNAct(self.out_channels, 3, dtype=self.dtype,
-                        name='conv2')(out, train)
+                        name='conv2')(out, train, conv_mode=mode)
         if self.add_identity:
             out = out + x
         return out
@@ -279,17 +331,24 @@ class CSPLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, fold: bool = False):
         mid = self.out_channels // 2
-        main = ConvBNAct(mid, 1, dtype=self.dtype, name='main_conv')(x, train)
-        short = ConvBNAct(mid, 1, dtype=self.dtype, name='short_conv')(x, train)
+        mode = 'fold' if fold else None
+        main = ConvBNAct(mid, 1, dtype=self.dtype, name='main_conv')(
+            x, train, conv_mode=mode)
+        short = ConvBNAct(mid, 1, dtype=self.dtype, name='short_conv')(
+            x, train, conv_mode=mode)
         for i in range(self.num_blocks):
             main = DarknetBottleneck(
                 mid, self.add_identity, dtype=self.dtype,
-                name=f'blocks_{i}')(main, train)
+                name=f'blocks_{i}')(main, train, fold=fold)
         x = jnp.concatenate([main, short], axis=-1)
+        # folded halves concatenate as [u0 m, u1 m, u0 s, u1 s]; the final
+        # conv's remapped kernel reads that layout directly (no permute)
         return ConvBNAct(self.out_channels, 1, dtype=self.dtype,
-                         name='final_conv')(x, train)
+                         name='final_conv')(
+                             x, train,
+                             conv_mode='fold_concat' if fold else None)
 
 
 def _maxpool_same(x, k: int):
@@ -312,3 +371,91 @@ class SPPFBottleneck(nn.Module):
         x = jnp.concatenate(pools, axis=-1)
         return ConvBNAct(self.out_channels, 1, dtype=self.dtype,
                          name='conv2')(x, train)
+
+
+# ---------------------------------------------------------------------------
+# width-folded (W-fold) stage-1 evaluation: tensors at stride 4 carry the
+# two horizontal neighbors in channels — (H, W, C) -> (H, W/2, 2C) with
+# channel ``u*C + c`` for w-parity u. 32/64-channel intermediates stop
+# padding the 128-lane tile; every kernel below is an exact remap of the
+# canonical parameter, like the s2d stem path above.
+# ---------------------------------------------------------------------------
+
+def stage_kernel_to_s2d2_folded(w: jnp.ndarray) -> jnp.ndarray:
+    """Remap a 3x3 stride-2 conv kernel (3, 3, C, O) to the
+    (2, 4, 4C, 2O) stride-(1,2) kernel consuming space_to_depth(., 2)
+    input and emitting W-FOLDED output, padding [(1,0), (1,2)].
+
+    Rows as in stage_kernel_to_s2d2 (ky -> (gy, py): 0->(0,1), 1->(1,0),
+    2->(1,1)); output w-parity ``u`` reads input cols 4*ox2 + 2u + kx - 1
+    = s2d cell 2*ox2 + floor(e/2), sub-col e%2 with e = 2u + kx - 1 in
+    [-1, 4] — four stride-2 cell taps."""
+    k, _, c, o = w.shape
+    assert k == 3
+    ky_map = {0: (0, 1), 1: (1, 0), 2: (1, 1)}
+    parts = jnp.zeros((2, 4, 2, 2, c, 2, o), w.dtype)
+    # dims: (gy, gx, py, px, c, u, o)
+    for ky in range(3):
+        gy, py = ky_map[ky]
+        for u in range(2):
+            for kx in range(3):
+                e = 2 * u + kx - 1
+                gx = (e + 2) // 2            # floor(e/2) + 1 in [0, 4)
+                px = (e + 2) % 2
+                parts = parts.at[gy, gx, py, px, :, u, :].set(w[ky, kx])
+    return parts.reshape(2, 4, 4 * c, 2 * o)
+
+
+def conv1x1_kernel_folded(w: jnp.ndarray) -> jnp.ndarray:
+    """(1, 1, C, O) -> (1, 1, 2C, 2O) block-diagonal over w-parity."""
+    c, o = w.shape[2], w.shape[3]
+    out = jnp.zeros((1, 1, 2 * c, 2 * o), w.dtype)
+    for u in range(2):
+        out = out.at[:, :, u * c:(u + 1) * c, u * o:(u + 1) * o].set(w)
+    return out
+
+
+def conv3x3_kernel_folded(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, O) stride-1 SAME -> (3, 3, 2C, 2O) on the W-folded grid:
+    output parity u reads standard col 2*ox2 + u + kx - 1 = folded cell
+    ox2 + floor(e/2), parity e%2 with e = u + kx - 1."""
+    c, o = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, 2 * c, 2 * o), w.dtype)
+    for u in range(2):
+        for kx in range(3):
+            e = u + kx - 1
+            gx = (e + 2) // 2                # in {0, 1, 2}? e in [-1, 2]
+            px = (e + 2) % 2
+            out = out.at[:, gx, px * c:(px + 1) * c,
+                         u * o:(u + 1) * o].set(w[:, kx])
+    return out
+
+
+def concat1x1_kernel_folded(w: jnp.ndarray, c_half: int) -> jnp.ndarray:
+    """Final-CSP 1x1 kernel (1, 1, 2*Ch, O) whose standard input is
+    concat([main(Ch), short(Ch)]) -> folded kernel reading the channel
+    layout produced by concatenating two FOLDED halves
+    ([u0 m, u1 m, u0 s, u1 s]) without any tensor permute."""
+    o = w.shape[3]
+    out = jnp.zeros((1, 1, 4 * c_half, 2 * o), w.dtype)
+    for u in range(2):
+        out = out.at[:, :, u * c_half:(u + 1) * c_half,
+                     u * o:(u + 1) * o].set(w[:, :, :c_half])
+        out = out.at[:, :, 2 * c_half + u * c_half:
+                     2 * c_half + (u + 1) * c_half,
+                     u * o:(u + 1) * o].set(w[:, :, c_half:])
+    return out
+
+
+def consume_folded_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, O) stride-2 conv whose INPUT arrives W-folded: kernel
+    (3, 2, 2C, O), strides (2, 1), padding [(1, 1), (1, 0)] — standard
+    output. Col taps: kx -> (gx, px): 0 -> (0, 1), 1 -> (1, 0),
+    2 -> (1, 1) (same algebra as stage_kernel_to_s2d2's rows)."""
+    c, o = w.shape[2], w.shape[3]
+    kx_map = {0: (0, 1), 1: (1, 0), 2: (1, 1)}
+    out = jnp.zeros((3, 2, 2 * c, o), w.dtype)
+    for kx in range(3):
+        gx, px = kx_map[kx]
+        out = out.at[:, gx, px * c:(px + 1) * c].set(w[:, kx])
+    return out

@@ -85,3 +85,70 @@ def test_dual_backbone_s2d_matches_canonical():
     for a, b in zip(out_fast, out_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_folded_kernel_remaps_match_standard_convs():
+    """W-fold remap algebra: each folded kernel reproduces its standard
+    conv exactly (layers.{stage_kernel_to_s2d2_folded, conv1x1/
+    conv3x3_kernel_folded, concat1x1_kernel_folded,
+    consume_folded_kernel})."""
+    from stereotracking_tpu.models.layers import (
+        concat1x1_kernel_folded, consume_folded_kernel,
+        conv1x1_kernel_folded, conv3x3_kernel_folded,
+        stage_kernel_to_s2d2_folded)
+
+    rng = np.random.RandomState(0)
+
+    def fold(x):
+        # W-fold layout: folded[:, :, q, u*C + c] == x[:, :, 2*q + u, c]
+        n, h, w, c = x.shape
+        return x.reshape(n, h, w // 2, 2, c).reshape(n, h, w // 2, 2 * c)
+
+    x = jnp.asarray(rng.rand(1, 8, 12, 6).astype(np.float32))
+    xf = fold(x)
+
+    # 1x1
+    w1 = jnp.asarray(rng.rand(1, 1, 6, 4).astype(np.float32))
+    ref = _conv(x, w1, 1, [(0, 0), (0, 0)])
+    got = _conv(xf, conv1x1_kernel_folded(w1), 1, [(0, 0), (0, 0)])
+    np.testing.assert_allclose(np.asarray(fold(ref)), np.asarray(got),
+                               rtol=1e-5, atol=1e-5)
+
+    # 3x3 stride 1 SAME
+    w3 = jnp.asarray(rng.rand(3, 3, 6, 4).astype(np.float32))
+    ref = _conv(x, w3, 1, [(1, 1), (1, 1)])
+    got = _conv(xf, conv3x3_kernel_folded(w3), 1, [(1, 1), (1, 1)])
+    np.testing.assert_allclose(np.asarray(fold(ref)), np.asarray(got),
+                               rtol=1e-4, atol=1e-5)
+
+    # concat final conv: standard input concat([a, b]) vs folded halves
+    a = x
+    b = jnp.asarray(rng.rand(1, 8, 12, 6).astype(np.float32))
+    wc = jnp.asarray(rng.rand(1, 1, 12, 5).astype(np.float32))
+    ref = _conv(jnp.concatenate([a, b], -1), wc, 1, [(0, 0), (0, 0)])
+    cat_f = jnp.concatenate([fold(a), fold(b)], -1)
+    got = _conv(cat_f, concat1x1_kernel_folded(wc, 6), 1,
+                [(0, 0), (0, 0)])
+    np.testing.assert_allclose(np.asarray(fold(ref)), np.asarray(got),
+                               rtol=1e-4, atol=1e-5)
+
+    # consume: 3x3 stride-2 standard vs folded input
+    w5 = jnp.asarray(rng.rand(3, 3, 6, 4).astype(np.float32))
+    ref = _conv(x, w5, 2, [(1, 1), (1, 1)])
+    got = lax.conv_general_dilated(
+        fold(x), consume_folded_kernel(w5), (2, 1),
+        padding=[(1, 1), (1, 0)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-4, atol=1e-5)
+
+    # stage s2d2 + fold-out: standard 3x3 s2 on (16, 24, C) vs s2d2 input
+    xs = jnp.asarray(rng.rand(1, 16, 24, 6).astype(np.float32))
+    ws = jnp.asarray(rng.rand(3, 3, 6, 4).astype(np.float32))
+    ref = _conv(xs, ws, 2, [(1, 1), (1, 1)])           # (1, 8, 12, 4)
+    got = lax.conv_general_dilated(
+        space_to_depth(xs, 2), stage_kernel_to_s2d2_folded(ws), (1, 2),
+        padding=[(1, 0), (1, 2)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))    # (1, 8, 6, 8)
+    np.testing.assert_allclose(np.asarray(fold(ref)), np.asarray(got),
+                               rtol=1e-4, atol=1e-5)
