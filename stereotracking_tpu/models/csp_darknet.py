@@ -56,10 +56,11 @@ class _Stage(nn.Module):
         ``fold_in``: first conv consumes a W-folded input (standard
         output)."""
         if fold_out:
-            assert s2d_in and not self.use_spp
+            assert not self.use_spp
+            mode = 's2d2_in_fold_out' if s2d_in else 'fold_through'
             x = ConvBNAct(self.out_channels, 3, strides=2,
                           dtype=self.dtype, name='conv')(
-                              x, train, conv_mode='s2d2_in_fold_out')
+                              x, train, conv_mode=mode)
             return CSPLayer(self.out_channels, self.num_blocks,
                             self.add_identity, dtype=self.dtype,
                             name='csp')(x, train, fold=True)
@@ -159,6 +160,9 @@ class CSPDarknetDual(nn.Module):
         if 1 in self.out_indices:
             outs.append(y)
 
+        # stage 2 consumes the folded tensor back to standard layout
+        # (folding stage 2's CSP as well was measured perf-neutral at
+        # 1080p: its (136, 240) maps are no longer HBM-bound)
         for i in range(1, 4):
             _, out_ch, n, ident, spp = P5_ARCH[i]
             y = _Stage(widen(out_ch, wf), make_round(n, df), ident, spp,

@@ -63,7 +63,7 @@ class ConvBNAct(nn.Module):
             conv_mode = 's2d2_in'
 
         folded_out = conv_mode in ('s2d2_in_fold_out', 'fold',
-                                   'fold_concat')
+                                   'fold_concat', 'fold_through')
         if conv_mode is None:
             x = nn.Conv(
                 self.out_channels,
@@ -81,7 +81,7 @@ class ConvBNAct(nn.Module):
                 c = x.shape[-1] // 4
             elif conv_mode == 'fold_concat':
                 c = x.shape[-1] // 2          # canonical (concat) channels
-            elif conv_mode == 'fold_consume':
+            elif conv_mode in ('fold_consume', 'fold_through'):
                 assert self.kernel_size == 3 and self.strides == 2
                 c = x.shape[-1] // 2
             else:
@@ -108,6 +108,9 @@ class ConvBNAct(nn.Module):
             elif conv_mode == 'fold_consume':
                 w = consume_folded_kernel(kernel)
                 strides, padding = (2, 1), [(1, 1), (1, 0)]
+            elif conv_mode == 'fold_through':
+                w = stride2_folded_io_kernel(kernel)
+                strides, padding = (2, 2), [(1, 1), (1, 2)]
             else:
                 raise ValueError(conv_mode)
             x = lax.conv_general_dilated(
@@ -458,4 +461,23 @@ def consume_folded_kernel(w: jnp.ndarray) -> jnp.ndarray:
     for kx in range(3):
         gx, px = kx_map[kx]
         out = out.at[:, gx, px * c:(px + 1) * c].set(w[:, kx])
+    return out
+
+
+def stride2_folded_io_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, O) stride-2 conv with W-folded input AND output: kernel
+    (3, 4, 2C, 2O), strides (2, 2), padding [(1, 1), (1, 2)].
+
+    Output parity ``u`` at folded col ox2 reads standard cols
+    4*ox2 + 2u + kx - 1 = input folded cell 2*ox2 + floor(e/2), parity
+    (e+2)%2 with e = 2u + kx - 1 in [-1, 4]."""
+    c, o = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 4, 2 * c, 2 * o), w.dtype)
+    for u in range(2):
+        for kx in range(3):
+            e = 2 * u + kx - 1
+            gx = (e + 2) // 2
+            px = (e + 2) % 2
+            out = out.at[:, gx, px * c:(px + 1) * c,
+                         u * o:(u + 1) * o].set(w[:, kx])
     return out

@@ -152,3 +152,22 @@ def test_folded_kernel_remaps_match_standard_convs():
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))    # (1, 8, 6, 8)
     np.testing.assert_allclose(np.asarray(fold(ref)), np.asarray(got),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_stride2_folded_io_kernel():
+    from stereotracking_tpu.models.layers import stride2_folded_io_kernel
+    rng = np.random.RandomState(5)
+
+    def fold(x):
+        n, h, w, c = x.shape
+        return x.reshape(n, h, w // 2, 2, c).reshape(n, h, w // 2, 2 * c)
+
+    x = jnp.asarray(rng.rand(1, 16, 24, 6).astype(np.float32))
+    w = jnp.asarray(rng.rand(3, 3, 6, 4).astype(np.float32))
+    ref = _conv(x, w, 2, [(1, 1), (1, 1)])             # (1, 8, 12, 4)
+    got = lax.conv_general_dilated(
+        fold(x), stride2_folded_io_kernel(w), (2, 2),
+        padding=[(1, 1), (1, 2)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))    # (1, 8, 6, 8)
+    np.testing.assert_allclose(np.asarray(fold(ref)), np.asarray(got),
+                               rtol=1e-4, atol=1e-5)
