@@ -276,3 +276,111 @@ def qdtrack_aux_loss(key_embeds: jnp.ndarray, ref_embeds: jnp.ndarray,
     tgt = pos.astype(jnp.float32)
     err = (cos - tgt) ** 2 * valid
     return err.sum() / jnp.maximum(valid.sum(), 1)
+
+
+class QDTrackModule(nn.Module):
+    """Faster R-CNN (ResNet-50 + FPN) + quasi-dense embed head — the
+    detector+track_head pair of the reference QDTrack model
+    (/root/reference/mmtrack/models/mot/qdtrack.py)."""
+    num_classes: int = 1
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from .resnet import ResNet
+        from .two_stage import FPN, BBoxHead, RPNHead
+        self.backbone = ResNet(out_indices=(0, 1, 2, 3), dtype=self.dtype)
+        self.neck = FPN(dtype=self.dtype)
+        self.rpn_head = RPNHead(3, feat_channels=256, dtype=self.dtype)
+        self.bbox_head = BBoxHead(self.num_classes, dtype=self.dtype)
+        self.embed_head = QuasiDenseEmbedHead(dtype=self.dtype)
+
+    def extract_feat(self, img, train: bool = False):
+        return self.neck(self.backbone(img, train), train)
+
+    def rpn_all_levels(self, feats, train: bool = False):
+        cls_list, reg_list = [], []
+        for f in feats:
+            c, r = self.rpn_head(f, train)
+            cls_list.append(c.reshape(c.shape[0], -1))
+            reg_list.append(r.reshape(r.shape[0], -1, 4))
+        return (jnp.concatenate(cls_list, 1),
+                jnp.concatenate(reg_list, 1))
+
+    def roi_bbox(self, feats, rois, train: bool = False):
+        from .two_stage import fpn_roi_align
+        rf = fpn_roi_align([f[0] for f in feats], rois, 7)
+        return self.bbox_head(rf, train)
+
+    def roi_embed(self, feats, rois):
+        from .two_stage import fpn_roi_align
+        rf = fpn_roi_align([f[0] for f in feats], rois, 7)
+        return self.embed_head(rf)
+
+    def __call__(self, img, train: bool = False):
+        from .two_stage import (TwoStageConfig, fpn_anchors, rpn_proposals)
+        cfg = TwoStageConfig(num_classes=self.num_classes,
+                             anchor_scales=(8,))
+        feats = self.extract_feat(img, train)
+        cls, reg = self.rpn_all_levels(feats, train)
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchors = jnp.asarray(fpn_anchors(shapes, cfg.anchor_scales,
+                                          cfg.anchor_ratios))
+        rois, _, valid = rpn_proposals(
+            cls[0], reg[0], anchors, (img.shape[1], img.shape[2]), cfg)
+        ccls, creg, _ = self.roi_bbox(feats, rois, train)
+        emb = self.roi_embed(feats, rois[:32])
+        return ccls, creg, emb
+
+
+class QDTrackStreaming:
+    """Per-frame streaming QDTrack: detect -> roi embeddings -> bisoftmax
+    association (qdtrack.py predict path)."""
+
+    def __init__(self, variables, num_classes: int = 1,
+                 cfg: QDTrackConfig = QDTrackConfig(), dtype=jnp.float32):
+        from .two_stage import TwoStageConfig
+        self.cfg = cfg
+        self.det_cfg = TwoStageConfig(num_classes=num_classes,
+                                      anchor_scales=(8,))
+        self.module = QDTrackModule(num_classes, dtype=dtype)
+        self.variables = variables
+        self._detect = jax.jit(self._detect_impl,
+                               static_argnames=('img_shape',))
+        self.state = init_state(cfg)
+
+    def _detect_impl(self, img, img_shape):
+        from .two_stage import (fpn_anchors, rcnn_predict, rpn_proposals)
+        feats = self.module.apply(self.variables, img,
+                                  method=QDTrackModule.extract_feat)
+        cls, reg = self.module.apply(self.variables, feats,
+                                     method=QDTrackModule.rpn_all_levels)
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchors = jnp.asarray(fpn_anchors(shapes,
+                                          self.det_cfg.anchor_scales,
+                                          self.det_cfg.anchor_ratios))
+        rois, _, valid = rpn_proposals(cls[0], reg[0], anchors, img_shape,
+                                       self.det_cfg)
+        ccls, creg, _ = self.module.apply(self.variables, feats, rois,
+                                          method=QDTrackModule.roi_bbox)
+        res = rcnn_predict(ccls, creg, rois, valid, img_shape,
+                           self.det_cfg)
+        embeds = self.module.apply(self.variables, feats, res.boxes,
+                                   method=QDTrackModule.roi_embed)
+        return res, embeds
+
+    def reset(self):
+        self.state = init_state(self.cfg)
+
+    def track(self, img, frame_id: int):
+        """img (1, H, W, 3). Returns dict of per-detection arrays with
+        assigned instance ids (-1 dropped / -2 suppressed)."""
+        img = jnp.asarray(img, jnp.float32)
+        if frame_id == 0:
+            self.reset()
+        res, embeds = self._detect(img, (img.shape[1], img.shape[2]))
+        self.state, ids = qdtrack_step(
+            self.state, res.boxes, res.scores, res.labels, embeds,
+            res.valid, jnp.int32(frame_id), self.cfg)
+        return dict(bboxes=res.boxes, scores=res.scores,
+                    labels=res.labels, instances_id=ids,
+                    valid=res.valid & (ids > -1))
