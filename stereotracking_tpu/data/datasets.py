@@ -201,8 +201,15 @@ def ref_img_sampling(frame_id: int, video_length: int,
     * 'test_with_fix_stride': frame 0 emits the initial window, then one
       new reference every ``stride`` frames.
     """
-    import random as _random
-    rng = rng or _random
+    import numpy as _np
+    rng = rng or _np.random
+
+    def _sample(seq, k):
+        # random.sample analog on a numpy Generator/RandomState
+        if k <= 0 or not seq:
+            return []
+        idx = rng.choice(len(seq), size=min(k, len(seq)), replace=False)
+        return [seq[int(i)] for i in _np.atleast_1d(idx)]
     if isinstance(frame_range, int):
         assert frame_range >= 0
         frame_range = [-frame_range, frame_range]
@@ -219,7 +226,7 @@ def ref_img_sampling(frame_id: int, video_length: int,
         valid = frame_ids[left:right + 1]
         if filter_key_img and frame_id in valid:
             valid.remove(frame_id)
-        refs.extend(rng.sample(valid, min(num_ref_imgs, len(valid))))
+        refs.extend(_sample(valid, num_ref_imgs))
     elif method == 'bilateral_uniform':
         assert num_ref_imgs % 2 == 0, 'only even num_ref_imgs supported'
         for mode in ('left', 'right'):
@@ -227,8 +234,7 @@ def ref_img_sampling(frame_id: int, video_length: int,
                      else frame_ids[frame_id:right + 1])
             if filter_key_img and frame_id in valid:
                 valid.remove(frame_id)
-            refs.extend(rng.sample(valid,
-                                   min(num_ref_imgs // 2, len(valid))))
+            refs.extend(_sample(valid, num_ref_imgs // 2))
     elif method == 'test_with_adaptive_stride':
         if frame_id == 0:
             s = float(video_length - 1) / (num_ref_imgs - 1)

@@ -527,3 +527,66 @@ def faster_rcnn_train_step_fn(module: FasterRCNN, cfg: TwoStageConfig):
         return total, (losses, updates)
 
     return loss_fn
+
+
+def selsa_train_step_fn(module: FasterRCNN, cfg: TwoStageConfig):
+    """SELSA training loss (selsa.py:42-118): RPN loss on the KEY frame,
+    reference-frame proposals extracted with stop-gradient RPN outputs,
+    and the SELSA bbox head scoring sampled key rois against the
+    aggregated reference-proposal features. ``batch`` adds
+    ``ref_imgs`` (R, H, W, 3)."""
+    assert module.selsa, 'build the module with selsa=True'
+
+    def loss_fn(params, rest, batch, key):
+        variables = {'params': params, **rest}
+        img = batch['img']
+        feat, updates = module.apply(
+            variables, img, train=True, mutable=['batch_stats'],
+            method=FasterRCNN.extract_feat)
+        variables = {'params': params, **{**rest, **updates}}
+        cls, reg = module.apply(variables, feat, True,
+                                method=FasterRCNN.rpn)
+        h, w = feat.shape[1], feat.shape[2]
+        anchors = jnp.asarray(standard_anchors(
+            h, w, cfg.stride, cfg.anchor_scales, cfg.anchor_ratios))
+        k1, k2 = jax.random.split(key)
+        losses = rpn_loss(cls[0], reg[0], anchors, batch['gt_bboxes'],
+                          batch['gt_valid'], k1)
+
+        img_shape = (img.shape[1], img.shape[2])
+        rois, _, valid = rpn_proposals(
+            jax.lax.stop_gradient(cls[0]), jax.lax.stop_gradient(reg[0]),
+            anchors, img_shape, cfg)
+        s_rois, labels, reg_t, pos, s_valid = rcnn_sample_rois(
+            rois, valid, batch['gt_bboxes'], batch['gt_labels'],
+            batch['gt_valid'], k2)
+        rf = module.apply(variables, feat[0], s_rois,
+                          method=FasterRCNN.roi_feats)
+
+        # reference-frame proposals + roi features (no grad through their
+        # RPN decisions, matching rpn_head.predict on refs :101-102)
+        ref_rf, ref_valid = [], []
+        for r in range(batch['ref_imgs'].shape[0]):
+            rfeat = module.apply(variables, batch['ref_imgs'][r][None],
+                                 train=True,
+                                 method=FasterRCNN.extract_feat)
+            rcls, rreg = module.apply(variables, rfeat, True,
+                                      method=FasterRCNN.rpn)
+            rrois, _, rvalid = rpn_proposals(
+                jax.lax.stop_gradient(rcls[0]),
+                jax.lax.stop_gradient(rreg[0]), anchors, img_shape, cfg)
+            ref_rf.append(module.apply(variables, rfeat[0], rrois,
+                                       method=FasterRCNN.roi_feats))
+            ref_valid.append(rvalid)
+        ref_rf = jnp.concatenate(ref_rf, 0)
+        ref_valid = jnp.concatenate(ref_valid, 0)
+
+        ccls, creg, _ = module.apply(
+            variables, rf, ref_rf, ref_valid, True,
+            method=FasterRCNN.roi_forward_selsa)
+        losses.update(rcnn_loss(ccls, creg, labels, reg_t, pos, s_valid,
+                                cfg.num_classes))
+        total = sum(losses.values())
+        return total, (losses, updates)
+
+    return loss_fn
