@@ -815,3 +815,95 @@ def _gauss_blur(img: jnp.ndarray, sigma: Tuple[float, float]) -> jnp.ndarray:
             padding=pad, feature_group_count=c,
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'))[0]
     return out
+
+
+# ---------------------------------------------------------------------------
+# training losses (prdimp_cls_head.py:599-710, filter_optimizer.py:257-285,
+# iounet_head.py:442-653)
+# ---------------------------------------------------------------------------
+
+def prdimp_cls_train_loss(init_filter: jnp.ndarray, feat: jnp.ndarray,
+                          bboxes_cxcywh: jnp.ndarray, num_iters: int,
+                          cfg: PrDiMPTestCfg, log_step_length,
+                          filter_regular_param) -> jnp.ndarray:
+    """Unrolled-optimizer classification loss: the probabilistic KL
+    objective (sample-weighted ``logsumexp(scores) - sum(density *
+    scores)`` + filter L2) summed over every optimizer iterate including
+    the initial and final filters (filter_optimizer.py:174-213,
+    _compute_loss :257-285). Differentiable through the optimizer steps
+    (the reference trains exactly this unrolled program)."""
+    fh, fw = init_filter.shape[0], init_filter.shape[1]
+    n = feat.shape[0]
+    out_hw = (feat.shape[1] + (fh + 1) % 2, feat.shape[2] + (fw + 1) % 2)
+    regular = jnp.maximum(filter_regular_param ** 2,
+                          cfg.min_filter_regular ** 2)
+    offset = jnp.asarray([fh % 2, fw % 2], jnp.float32) / 2.0
+    centers = bboxes_cxcywh[:, :2] / cfg.feat_stride
+    density = gen_label_density(centers[:, ::-1] - offset, out_hw,
+                                cfg.gauss_sigma)
+    w = jnp.full((n,), 1.0 / n)
+
+    def iter_loss(f):
+        raw = apply_filter(feat, f)
+        lse = jax.nn.logsumexp(raw.reshape(n, -1), axis=-1)
+        dot = (density * raw).sum(axis=(1, 2))
+        return (w * (lse - dot)).sum() + regular * (f ** 2).sum() / n
+
+    total = iter_loss(init_filter)
+    f = init_filter
+    for _ in range(num_iters):
+        f = optimize_filter(f, feat, bboxes_cxcywh, w, 1, cfg,
+                            log_step_length, filter_regular_param)
+        total = total + iter_loss(f)
+    return total / (num_iters + 1)
+
+
+def sample_gmm_proposals(gt_xywh: jnp.ndarray, key,
+                         num_samples: int = 128,
+                         proposals_sigma=((0.05, 0.05), (0.5, 0.5)),
+                         gt_sigma=(0.05, 0.05)):
+    """GMM proposal sampling in relative box coords
+    (iounet_head.py:442-498): per sample pick a sigma component, draw a
+    centered gaussian perturbation, map back to xywh. Returns
+    (proposals_xywh (S, 4), proposal_density (S,), gt_density (S,))."""
+    k1, k2 = jax.random.split(key)
+    sigmas = jnp.asarray([[c, c, s, s] for c, s in proposals_sigma])
+    comp = jax.random.randint(k1, (num_samples,), 0, sigmas.shape[0])
+    sig = sigmas[comp]                                   # (S, 4)
+    eps = jax.random.normal(k2, (num_samples, 4)) * sig
+
+    def gauss_density_centered(x, std):
+        return jnp.prod(
+            jnp.exp(-0.5 * (x / std) ** 2) /
+            (jnp.sqrt(2 * jnp.pi) * std), axis=-1)
+
+    # mixture density over all components
+    dens = jnp.stack([gauss_density_centered(eps, sigmas[i][None])
+                      for i in range(sigmas.shape[0])], axis=0)
+    proposal_density = dens.mean(axis=0)
+    gt_std = jnp.asarray([gt_sigma[0], gt_sigma[0],
+                          gt_sigma[1], gt_sigma[1]])
+    gt_density = gauss_density_centered(eps, gt_std[None])
+
+    wh = gt_xywh[2:]
+    c = gt_xywh[:2] + wh / 2
+    sz_norm = wh
+    rel_mean = jnp.concatenate([c / sz_norm, jnp.log(wh / sz_norm)])
+    rel = rel_mean[None] + eps
+    size = jnp.exp(rel[:, 2:]) * sz_norm[None]
+    center = rel[:, :2] * sz_norm[None]
+    proposals = jnp.concatenate([center - size / 2, size], axis=1)
+    return proposals, proposal_density, gt_density
+
+
+def kl_mc_loss(scores: jnp.ndarray, sample_density: jnp.ndarray,
+               gt_density: jnp.ndarray) -> jnp.ndarray:
+    """KL-divergence Monte-Carlo regression loss (the KLMCLoss the
+    reference's IoUNet trains with): ``logsumexp(s - log q) - log N -
+    mean(s * p / q)`` per sequence, averaged."""
+    n = scores.shape[-1]
+    exp_val = scores - jnp.log(jnp.maximum(sample_density, 1e-12))
+    l = jax.nn.logsumexp(exp_val, axis=-1) - jnp.log(n) \
+        - (scores * gt_density / jnp.maximum(sample_density, 1e-12)) \
+        .mean(axis=-1)
+    return l.mean()

