@@ -255,3 +255,65 @@ def crop_resize_boxes(img: jnp.ndarray, boxes: jnp.ndarray,
         return c0 * (1 - fx) + c1 * fx
 
     return jax.vmap(one)(x1, y1, x2, y2)
+
+
+class StrongSORTStreaming:
+    """Per-frame streaming StrongSORT: YOLOX detections + ReID crop
+    embeddings -> the fixed-slot association step (the composition of the
+    reference StrongSORT model: detector + reid + kalman + tracker +
+    optional cmc/AFLink/GSI postprocessing)."""
+
+    def __init__(self, det_variables, reid_variables,
+                 det_cfg=None, cfg: StrongSORTConfig = StrongSORTConfig(),
+                 reid_hw: Tuple[int, int] = (256, 128),
+                 input_shape: Tuple[int, int] = (736, 1280),
+                 dtype=jnp.float32):
+        import jax as _jax
+
+        from .detector import DetectorConfig, YOLOXDetector, detector_predict
+        from .reid import BaseReID
+
+        self.cfg = cfg
+        self.det_cfg = det_cfg or DetectorConfig()
+        self.module = YOLOXDetector(self.det_cfg, dtype=dtype)
+        self.det_variables = det_variables
+        self.reid = BaseReID(embed_dim=cfg.embed_dim, num_classes=1)
+        self.reid_variables = reid_variables
+        self.reid_hw = reid_hw
+        self.state = init_state(cfg)
+        self._frame = jnp.int32(0)
+
+        n = cfg.num_slots
+
+        def detect(variables, inputs):
+            res = detector_predict(variables, self.module, inputs)
+            return (res.boxes[:n], res.scores[:n], res.labels[:n],
+                    res.valid[:n])
+
+        self._detect = _jax.jit(detect)
+
+        def embed(reid_vars, img, boxes):
+            crops = crop_resize_boxes(img, boxes, reid_hw)
+            emb, _ = self.reid.apply(reid_vars, crops, train=False)
+            return emb
+
+        self._embed = _jax.jit(embed)
+
+    def reset(self):
+        self.state = init_state(self.cfg)
+        self._frame = jnp.int32(0)
+
+    def track(self, inputs: dict, frame_id: int,
+              warp=None):
+        """``inputs`` from preprocess_frame (dict of NHWC tensors).
+        Returns dict(bboxes, scores, labels, instances_id, valid)."""
+        if frame_id == 0:
+            self.reset()
+        boxes, scores, labels, valid = self._detect(self.det_variables,
+                                                    inputs)
+        embeds = self._embed(self.reid_variables, inputs['img'][0], boxes)
+        self.state, ids = strongsort_step(
+            self.state, boxes, scores, labels, embeds, valid,
+            jnp.int32(frame_id), self.cfg, warp=warp)
+        return dict(bboxes=boxes, scores=scores, labels=labels,
+                    instances_id=ids, valid=valid & (ids >= 0))

@@ -222,3 +222,79 @@ def make_regress_fn(det_module, variables, cfg_det,
         return out, scores
 
     return jax.jit(regress)
+
+
+class TracktorStreaming:
+    """Per-frame streaming Tracktor: the reference model composition
+    (Faster R-CNN detector + ReID + tracktor_tracker) — detect, regress
+    the previous frame's track boxes with the RoI head, embed crops,
+    associate with ``tracktor_step``."""
+
+    def __init__(self, det_variables, reid_variables, det_cfg,
+                 cfg: TracktorConfig = TracktorConfig(),
+                 input_shape: Tuple[int, int] = (384, 512),
+                 reid_hw: Tuple[int, int] = (256, 128),
+                 num_dets: int = 32, dtype=jnp.float32):
+        from .reid import BaseReID
+        from .strongsort import crop_resize_boxes
+        from .two_stage import (FasterRCNN, rcnn_predict, rpn_proposals,
+                                standard_anchors)
+
+        self.cfg = cfg
+        self.det_cfg = det_cfg
+        self.module = FasterRCNN(det_cfg, dtype=dtype)
+        self.det_variables = det_variables
+        self.reid = BaseReID(embed_dim=cfg.embed_dim, num_classes=1)
+        self.reid_variables = reid_variables
+        self.input_shape = input_shape
+        self.state = init_state(cfg)
+        n = num_dets
+
+        def detect(variables, img):
+            feat = self.module.apply(variables, img,
+                                     method=FasterRCNN.extract_feat)
+            cls, reg = self.module.apply(variables, feat,
+                                         method=FasterRCNN.rpn)
+            anchors = jnp.asarray(standard_anchors(
+                feat.shape[1], feat.shape[2], det_cfg.stride,
+                det_cfg.anchor_scales, det_cfg.anchor_ratios))
+            rois, _, valid = rpn_proposals(cls[0], reg[0], anchors,
+                                           input_shape, det_cfg)
+            rf = self.module.apply(variables, feat[0], rois,
+                                   method=FasterRCNN.roi_feats)
+            ccls, creg, _ = self.module.apply(variables, rf,
+                                              method=FasterRCNN.roi_forward)
+            res = rcnn_predict(ccls, creg, rois, valid, input_shape,
+                               det_cfg)
+            return feat, (res.boxes[:n], res.scores[:n], res.labels[:n],
+                          res.valid[:n])
+
+        self._detect = jax.jit(detect)
+        self._regress = make_regress_fn(self.module, det_variables,
+                                        det_cfg, input_shape)
+
+        def embed(reid_vars, img, boxes):
+            crops = crop_resize_boxes(img, boxes, reid_hw)
+            emb, _ = self.reid.apply(reid_vars, crops, train=False)
+            return emb
+
+        self._embed = jax.jit(embed)
+
+    def reset(self):
+        self.state = init_state(self.cfg)
+
+    def track(self, img, frame_id: int):
+        """img (1, H, W, 3) float. Returns dict over the K+N output rows
+        (propagated tracks then detections) with ids and validity."""
+        img = jnp.asarray(img, jnp.float32)
+        if frame_id == 0:
+            self.reset()
+        feat, (db, ds, dl, dv) = self._detect(self.det_variables, img)
+        reg_boxes, reg_scores = self._regress(feat[0], self.state.bbox)
+        det_embeds = self._embed(self.reid_variables, img[0], db)
+        prop_embeds = self._embed(self.reid_variables, img[0], reg_boxes)
+        self.state, (ob, os_, ol, oid, ov) = tracktor_step(
+            self.state, reg_boxes, reg_scores, db, ds, dl, det_embeds,
+            dv, prop_embeds, jnp.int32(frame_id), self.cfg)
+        return dict(bboxes=ob, scores=os_, labels=ol, instances_id=oid,
+                    valid=ov)

@@ -28,7 +28,7 @@ from flax import linen as nn
 from ..resnet import ResNet
 from ..two_stage import (FPN, TwoStageConfig, BBoxHead, RPNHead, fpn_anchors,
                          fpn_roi_align, iou_matrix, rcnn_predict,
-                         rpn_proposals)
+                         rpn_proposals)  # noqa: F401
 
 
 class FCNMaskHead(nn.Module):
@@ -219,3 +219,61 @@ def masktrack_update(state: VISTrackState, ids, bboxes, labels, embeds,
     return st._replace(num_tracks=jnp.maximum(st.num_tracks,
                                               jnp.where(det_valid,
                                                         ids + 1, 0).max()))
+
+
+class MaskTrackRCNNStreaming:
+    """Per-frame streaming MaskTrack R-CNN: detect + segment + embed ->
+    score/iou/label matching (the reference model's predict path,
+    masktrack_rcnn.py:150-180 + masktrack_rcnn_tracker.track)."""
+
+    def __init__(self, variables, cfg: TwoStageConfig = TwoStageConfig(
+            num_classes=40, anchor_scales=(8,), stride=4),
+            num_slots: int = 64, dtype=jnp.float32):
+        self.cfg = cfg
+        self.module = MaskTrackRCNNModule(cfg, dtype=dtype)
+        self.variables = variables
+        self.num_slots = num_slots
+        self._detect = jax.jit(self._detect_impl,
+                               static_argnames=('img_shape',))
+        self.state = init_vis_state(num_slots)
+
+    def _detect_impl(self, img, img_shape):
+        feats = self.module.apply(self.variables, img,
+                                  method=MaskTrackRCNNModule.extract_feat)
+        cls, reg = self.module.apply(
+            self.variables, feats,
+            method=MaskTrackRCNNModule.rpn_all_levels)
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchors = jnp.asarray(fpn_anchors(shapes, self.cfg.anchor_scales,
+                                          self.cfg.anchor_ratios))
+        rois, _, valid = rpn_proposals(cls[0], reg[0], anchors, img_shape,
+                                       self.cfg)
+        ccls, creg, _ = self.module.apply(
+            self.variables, feats, rois,
+            method=MaskTrackRCNNModule.roi_bbox)
+        res = rcnn_predict(ccls, creg, rois, valid, img_shape, self.cfg)
+        masks = self.module.apply(self.variables, feats, res.boxes,
+                                  method=MaskTrackRCNNModule.roi_mask)
+        embeds = self.module.apply(self.variables, feats, res.boxes,
+                                   method=MaskTrackRCNNModule.roi_embed)
+        return res, masks, embeds
+
+    def reset(self):
+        self.state = init_vis_state(self.num_slots)
+
+    def track(self, img, frame_id: int):
+        """img (1, H, W, 3). Returns per-detection dict incl. 28x28 mask
+        logits and assigned instance ids."""
+        img = jnp.asarray(img, jnp.float32)
+        if frame_id == 0:
+            self.reset()
+        res, masks, embeds = self._detect(
+            img, (img.shape[1], img.shape[2]))
+        scores = masktrack_match_scores(res.boxes, res.labels, res.scores,
+                                        embeds, self.state)
+        ids, _ = masktrack_assign(scores, res.valid, self.state)
+        self.state = masktrack_update(self.state, ids, res.boxes,
+                                      res.labels, embeds, res.valid)
+        return dict(bboxes=res.boxes, scores=res.scores,
+                    labels=res.labels, masks=masks, instances_id=ids,
+                    valid=res.valid & (ids >= 0))

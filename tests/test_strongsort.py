@@ -1,7 +1,11 @@
 """StrongSORT/DeepSORT/SORT fixed-slot tracker behavior (reference:
 mmtrack/models/trackers/strongsort_tracker.py:60-264 and the SORT base)."""
+import os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from stereotracking_tpu.models.strongsort import (
     SSTrackState, StrongSORTConfig, crop_resize_boxes, init_state,
@@ -101,3 +105,33 @@ def test_crop_resize_boxes_shapes_and_content():
     assert crops.shape == (1, 16, 16, 3)
     np.testing.assert_allclose(np.asarray(crops[0]),
                                np.asarray(img[8:24, 8:24]), atol=1e-4)
+
+
+@pytest.mark.skipif(os.environ.get('STTPU_SLOW_TESTS') != '1',
+                    reason='full streaming model is compile-heavy')
+def test_strongsort_streaming_end_to_end():
+    from stereotracking_tpu.models.detector import (DetectorConfig,
+                                                    YOLOXDetector)
+    from stereotracking_tpu.models.reid import BaseReID
+    from stereotracking_tpu.models.strongsort import StrongSORTStreaming
+    det_cfg = DetectorConfig(num_classes=1, max_per_img=16,
+                             pre_nms_top_k=64)
+    det = YOLOXDetector(det_cfg)
+    inp0 = {'img': jnp.zeros((1, 64, 96, 3)),
+            'disp_postp': jnp.zeros((1, 64, 96, 3)),
+            'disp_mask': jnp.zeros((1, 64, 96, 1))}
+    dv = det.init(jax.random.PRNGKey(0), inp0)
+    reid = BaseReID(embed_dim=32, num_classes=1)
+    rv = reid.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 16, 3)))
+    cfg = StrongSORTConfig(num_slots=16, embed_dim=32)
+    ss = StrongSORTStreaming(dv, rv, det_cfg, cfg, reid_hw=(32, 16),
+                             input_shape=(64, 96))
+    rng = np.random.RandomState(0)
+    for f in range(2):
+        inp = {'img': jnp.asarray(rng.rand(1, 64, 96, 3) * 255,
+                                  jnp.float32),
+               'disp_postp': jnp.asarray(rng.rand(1, 64, 96, 3),
+                                         jnp.float32),
+               'disp_mask': jnp.ones((1, 64, 96, 1))}
+        out = ss.track(inp, f)
+        assert np.isfinite(np.asarray(out['bboxes'])).all()

@@ -1,7 +1,11 @@
 """Tracktor fixed-slot tracker behavior (reference:
 mmtrack/models/trackers/tracktor_tracker.py:49-272)."""
+import os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from stereotracking_tpu.models.tracktor import (
     TracktorConfig, TracktorState, init_state, tracktor_step)
@@ -85,3 +89,28 @@ def test_reid_blocked_by_low_iou():
         jnp.zeros((K, CFG.embed_dim)), 1, CFG)
     oi = np.asarray(oi)[np.asarray(ov).astype(bool)]
     assert list(oi) == [1]
+
+
+@pytest.mark.skipif(os.environ.get('STTPU_SLOW_TESTS') != '1',
+                    reason='full streaming model is compile-heavy')
+def test_tracktor_streaming_end_to_end():
+    from stereotracking_tpu.models.reid import BaseReID
+    from stereotracking_tpu.models.tracktor import TracktorStreaming
+    from stereotracking_tpu.models.two_stage import (FasterRCNN,
+                                                     TwoStageConfig)
+    det_cfg = TwoStageConfig(num_classes=1, anchor_scales=(4, 8),
+                             rpn_nms_pre=64, num_proposals=16,
+                             rcnn_max_per_img=8)
+    fr = FasterRCNN(det_cfg)
+    fv = fr.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 96, 3)))
+    reid = BaseReID(embed_dim=32, num_classes=1)
+    rv = reid.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 16, 3)))
+    cfg = TracktorConfig(num_slots=8, embed_dim=32, num_samples=3)
+    tr = TracktorStreaming(fv, rv, det_cfg, cfg, input_shape=(64, 96),
+                           reid_hw=(32, 16), num_dets=8)
+    rng = np.random.RandomState(0)
+    for f in range(2):
+        out = tr.track(jnp.asarray(rng.rand(1, 64, 96, 3) * 255,
+                                   jnp.float32), f)
+        assert np.isfinite(np.asarray(out['bboxes'])).all()
+        assert out['bboxes'].shape[0] == 16

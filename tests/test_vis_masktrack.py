@@ -2,9 +2,14 @@
 assignment loop and slot memory (reference:
 mmtrack/models/trackers/masktrack_rcnn_tracker.py:37-95,
 mmtrack/models/track_heads/roi_embed_head.py:372-391)."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+from stereotracking_tpu.models.two_stage import TwoStageConfig
 
 from stereotracking_tpu.models.vis import (
     FCNMaskHead, RoIEmbedHead, VISTrackState, init_vis_state,
@@ -99,3 +104,22 @@ def test_embed_and_mask_head_shapes():
     mv = mh.init(jax.random.PRNGKey(1), jnp.zeros((5, 14, 14, 16)))
     out = mh.apply(mv, jnp.zeros((5, 14, 14, 16)))
     assert out.shape == (5, 28, 28, 3)
+
+
+@pytest.mark.skipif(os.environ.get('STTPU_SLOW_TESTS') != '1',
+                    reason='full streaming model is compile-heavy')
+def test_masktrack_streaming_end_to_end():
+    from stereotracking_tpu.models.vis.masktrack_rcnn import (
+        MaskTrackRCNNModule, MaskTrackRCNNStreaming)
+    cfg = TwoStageConfig(num_classes=5, anchor_scales=(8,), stride=4,
+                         rpn_nms_pre=64, num_proposals=16,
+                         rcnn_max_per_img=8)
+    m = MaskTrackRCNNModule(cfg)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    s = MaskTrackRCNNStreaming(v, cfg, num_slots=16)
+    rng = np.random.RandomState(0)
+    for f in range(2):
+        out = s.track(jnp.asarray(rng.rand(1, 64, 64, 3) * 255,
+                                  jnp.float32), f)
+        assert np.isfinite(np.asarray(out['bboxes'])).all()
+        assert out['masks'].shape[1:] == (28, 28, 5)
