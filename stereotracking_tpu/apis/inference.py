@@ -153,3 +153,71 @@ def inference_sot(model, img: np.ndarray, init_bbox=None, state=None):
     state, (bbox, score) = model.track(img, state)
     return state, dict(bboxes=np.asarray(bbox)[None],
                        scores=np.asarray([float(score)]))
+
+
+def init_vid_model(method: str = 'dff', variables=None, cfg=None,
+                   rng_seed: int = 0, img_hw: Tuple[int, int] = (384, 512),
+                   **kwargs):
+    """Build a streaming video-object-detection model (reference
+    ``inference_vid`` stack, apis/inference.py:178-223).
+
+    ``method``: 'dff' | 'fgfa' | 'selsa'. Without ``variables`` the model
+    is randomly initialized (API/capability use)."""
+    import jax
+
+    from ..models.two_stage import FasterRCNN, TwoStageConfig
+    from ..models.vid import DFF, FGFA, SELSA
+    from ..models.vid.flownet import FlowNetSimple
+    from ..models.vid.vid_models import EmbedAggregator
+
+    cfg = cfg or TwoStageConfig()
+    h, w = img_hw
+    img0 = jnp.zeros((1, h, w, 3))
+    if method == 'selsa':
+        if variables is None:
+            variables = FasterRCNN(cfg, selsa=True).init(
+                jax.random.PRNGKey(rng_seed), img0)
+        return SELSA(variables, cfg, **kwargs)
+    if variables is None:
+        det = FasterRCNN(cfg)
+        dv = det.init(jax.random.PRNGKey(rng_seed), img0)
+        fv = FlowNetSimple().init(jax.random.PRNGKey(rng_seed + 1),
+                                  jnp.zeros((1, h, w, 6)))
+        variables = {'detector': dv, 'flownet': fv}
+        if method == 'fgfa':
+            feat = jax.eval_shape(
+                lambda x: det.apply(dv, x, method=FasterRCNN.extract_feat),
+                img0)
+            c = feat.shape[-1]
+            variables['aggregator'] = EmbedAggregator().init(
+                jax.random.PRNGKey(rng_seed + 2),
+                jnp.zeros((1,) + feat.shape[1:]),
+                jnp.zeros((3,) + feat.shape[1:]), jnp.ones((3,), bool))
+    if method == 'dff':
+        return DFF(variables, cfg, **kwargs)
+    if method == 'fgfa':
+        return FGFA(variables, cfg, **kwargs)
+    raise ValueError(f'unknown VID method {method!r}')
+
+
+def inference_vid(model, img: np.ndarray, frame_id: int, state=None):
+    """Per-frame VID API: thread ``state`` between frames (for SELSA it is
+    the ring of recent reference frames). Returns
+    (state, dict(bboxes, scores, labels)) with invalid rows dropped."""
+    from ..models.vid import SELSA
+
+    img = jnp.asarray(img, jnp.float32)
+    if img.ndim == 3:
+        img = img[None]
+    if isinstance(model, SELSA):
+        if state is None or frame_id == 0:
+            state = jnp.repeat(img, model.num_refs, axis=0)
+        res = model.detect(img, state)
+        state = jnp.concatenate([state[1:], img], axis=0)
+    else:
+        state, res = model.detect(img, frame_id,
+                                  None if frame_id == 0 else state)
+    v = np.asarray(res.valid)
+    return state, dict(bboxes=np.asarray(res.boxes)[v],
+                       scores=np.asarray(res.scores)[v],
+                       labels=np.asarray(res.labels)[v])

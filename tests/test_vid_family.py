@@ -120,3 +120,23 @@ def test_vid_models_stream():
     s = SELSA(sv, cfg, num_refs=2)
     res = s.detect(frame, jnp.tile(frame, (2, 1, 1, 1)))
     assert res.boxes.shape == (10, 4)
+
+
+@pytest.mark.skipif(os.environ.get('STTPU_SLOW_TESTS') != '1',
+                    reason='full VID inference API is compile-heavy')
+def test_inference_vid_api_all_methods():
+    from stereotracking_tpu.apis.inference import (inference_vid,
+                                                   init_vid_model)
+    from stereotracking_tpu.models.two_stage import TwoStageConfig
+    cfg = TwoStageConfig(num_classes=3, anchor_scales=(4, 8),
+                         rpn_nms_pre=64, num_proposals=16,
+                         rcnn_max_per_img=8)
+    rng = np.random.RandomState(0)
+    for method, kw in [('dff', dict(key_frame_interval=2)),
+                       ('selsa', dict(num_refs=2))]:
+        m = init_vid_model(method, cfg=cfg, img_hw=(64, 96), **kw)
+        state = None
+        for f in range(2):
+            img = rng.rand(64, 96, 3).astype(np.float32) * 255
+            state, out = inference_vid(m, img, f, state)
+            assert np.isfinite(out['bboxes']).all()
