@@ -68,3 +68,30 @@ def test_demo_sot_cli(sot_dataset, tmp_path):
     assert len(rows) == 8
     x, y, w, h = [float(v) for v in rows[0].split(',')]
     assert (x, y, w, h) == (30.0, 25.0, 50.0, 40.0)
+
+
+def test_test_sot_ope_eval(sot_dataset, tmp_path):
+    """tools/test_sot.py scores a random-weights SiamRPN with OPE and
+    writes metrics.json + a GOT10k dump."""
+    out = tmp_path / 'ope'
+    r = subprocess.run(
+        [sys.executable, str(REPO / 'tools' / 'test_sot.py'),
+         '--data-root', str(sot_dataset), '--dataset', 'generic',
+         '--tracker', 'siamrpn', '--max-videos', '1', '--max-frames', '3',
+         '--out-dir', str(out)],
+        env=_env(), capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json
+    m = json.loads((out / 'metrics.json').read_text())
+    assert 'success' in m and 0.0 <= float(m['success']) <= 100.0
+
+    dump = tmp_path / 'got'
+    r = subprocess.run(
+        [sys.executable, str(REPO / 'tools' / 'test_sot.py'),
+         '--data-root', str(sot_dataset), '--dataset', 'generic',
+         '--tracker', 'siamrpn', '--max-videos', '1', '--max-frames', '2',
+         '--dump', 'got10k', '--out-dir', str(dump)],
+        env=_env(), capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    files = list(dump.glob('*/*_001.txt'))
+    assert files and len(files[0].read_text().splitlines()) == 2
