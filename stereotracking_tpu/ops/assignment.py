@@ -259,17 +259,12 @@ def linear_assignment_with_limit(
                      costf - limit, _BIG)
     ext = jnp.concatenate([real, jnp.zeros((K, K), jnp.float32)], axis=1)
 
-    import os
-    if jax.default_backend() != 'cpu' and \
-            os.environ.get('STTPU_PALLAS_JV', '0') == '1':
-        # single-kernel VMEM-resident solver: sequential Dijkstra steps cost
-        # nanoseconds instead of XLA loop-iteration overhead.  Gated off by
-        # default until the kernel is validated hang-free on real hardware
-        # (a runaway device loop wedges the whole TPU session).
-        from .pallas_jv import solve_rect_lap_pallas
-        row2col, col2row = solve_rect_lap_pallas(ext)
-    else:
-        row2col, col2row = _solve_rect_lap(ext, scan_mask=need_jv)
+    # An experimental Pallas VMEM-resident JV kernel was removed: its
+    # Dijkstra/augmenting while_loops have data-dependent trip counts and a
+    # runaway device loop wedges the single-client TPU session for hours.
+    # The XLA solver below is exact (lap.lapjv cost-limit semantics) and
+    # assignment is ~1% of frame time, so the kernel bought nothing but risk.
+    row2col, col2row = _solve_rect_lap(ext, scan_mask=need_jv)
 
     row_assign = jnp.where(need_jv & (row2col < N) & (row2col >= 0),
                            row2col, -1)
