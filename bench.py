@@ -37,13 +37,15 @@ def make_frames(n, h, w, seed=0):
     return frames
 
 
-def tpu_responsive(timeout_s: float = 150.0, attempts: int = 3) -> bool:
+def tpu_responsive(timeout_s: float = 240.0, attempts: int = 3) -> bool:
     """Probe the accelerator in a subprocess: a wedged TPU session hangs
     forever on the first op and cannot be interrupted in-process.
 
     Retries: the dev tunnel occasionally takes minutes to grant a session
     right after another client released it — a transient that must not be
-    mistaken for a wedge (it cost two bench runs a CPU fallback)."""
+    mistaken for a wedge (it cost two bench runs a CPU fallback). The
+    timeout must also absorb a saturated host: with all cores busy the
+    probe's interpreter+import+grant alone measured >100 s."""
     import subprocess
     import sys
     code = ('import jax, jax.numpy as jnp;'

@@ -259,7 +259,7 @@ def multi_pos_cross_entropy(sim: jnp.ndarray, pos: jnp.ndarray,
     lse_pos = jax.nn.logsumexp(pos_term, axis=1)
     lse_neg = jax.nn.logsumexp(neg_term, axis=1)
     row_has_pos = pos.any(axis=1)
-    loss = jnp.log1p(jnp.exp(lse_pos + lse_neg))
+    loss = jax.nn.softplus(lse_pos + lse_neg)   # stable log1p(exp(.))
     return jnp.where(row_has_pos, loss, 0.0).sum() \
         / jnp.maximum(row_has_pos.sum(), 1)
 
@@ -384,3 +384,96 @@ class QDTrackStreaming:
         return dict(bboxes=res.boxes, scores=res.scores,
                     labels=res.labels, instances_id=ids,
                     valid=res.valid & (ids > -1))
+
+
+def qdtrack_track_loss(key_embeds: jnp.ndarray, ref_embeds: jnp.ndarray,
+                       key_ids: jnp.ndarray, ref_ids: jnp.ndarray,
+                       key_valid: jnp.ndarray, ref_valid: jnp.ndarray,
+                       loss_weight: float = 0.25,
+                       aux_weight: float = 1.0) -> dict:
+    """QDTrack embedding losses over sampled key/ref proposals
+    (quasi_dense_embed_head.py loss: MultiPosCrossEntropy on the dot
+    similarity + cosine aux L2; reference weights 0.25 / 1.0)."""
+    pos = ((key_ids[:, None] == ref_ids[None, :]) & (key_ids[:, None] >= 0)
+           & key_valid[:, None] & ref_valid[None, :])
+    valid = key_valid[:, None] & ref_valid[None, :]
+    sim = key_embeds @ ref_embeds.T
+    return dict(
+        loss_track=loss_weight * multi_pos_cross_entropy(sim, pos, valid),
+        loss_track_aux=aux_weight * qdtrack_aux_loss(
+            key_embeds, ref_embeds, pos, valid))
+
+
+def qdtrack_train_loss_fn(module: 'QDTrackModule', num_rois: int = 64):
+    """Build the jitted QDTrack training loss over a key/ref frame pair
+    (/root/reference/mmtrack/models/mot/qdtrack.py loss: detector RPN +
+    RCNN losses on the key frame, quasi-dense embedding losses over
+    proposals of both frames matched by instance id).
+
+    TPU-native fixed-shape sampling: rois = concat(gt, top proposals)
+    per frame; positives carry their matched instance id.
+
+    ``batch``: img/ref_img (1, H, W, 3), gt_bboxes/ref_gt_bboxes (G, 4),
+    gt_labels (G,), gt_ids/ref_gt_ids (G,), gt_valid/ref_gt_valid (G,).
+    """
+    from .two_stage import (TwoStageConfig, fpn_anchors, max_iou_assign,
+                            rcnn_loss, rcnn_sample_rois, rpn_loss,
+                            rpn_proposals)
+
+    cfg = TwoStageConfig(num_classes=module.num_classes, anchor_scales=(8,),
+                         num_proposals=num_rois)
+
+    def frame_rois(variables, img, gt_bboxes, gt_ids, gt_valid):
+        # only the backbone carries batch_stats; the heads are stateless
+        feats, updates = module.apply(
+            variables, img, True, method=QDTrackModule.extract_feat,
+            mutable=['batch_stats'])
+        cls, reg = module.apply({**variables, **updates}, feats, True,
+                                method=QDTrackModule.rpn_all_levels)
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchors = jnp.asarray(fpn_anchors(shapes, cfg.anchor_scales,
+                                          cfg.anchor_ratios))
+        rois, _, rvalid = rpn_proposals(
+            cls[0], reg[0], anchors, (img.shape[1], img.shape[2]), cfg)
+        all_rois = jnp.concatenate([gt_bboxes, rois], 0)
+        all_valid = jnp.concatenate([gt_valid, rvalid], 0)
+        assigned, _ = max_iou_assign(all_rois, gt_bboxes, gt_valid,
+                                     0.7, 0.3, match_low_quality=False)
+        ids = jnp.where((assigned > 0) & all_valid,
+                        gt_ids[jnp.clip(assigned - 1, 0,
+                                        gt_ids.shape[0] - 1)], -1)
+        return feats, updates, (cls, reg, anchors), all_rois, all_valid, ids
+
+    def loss_fn(params, rest, batch, key):
+        variables = {'params': params, **rest}
+        feats, upd1, (cls, reg, anchors), k_rois, k_valid, k_ids = \
+            frame_rois(variables, batch['img'], batch['gt_bboxes'],
+                       batch['gt_ids'], batch['gt_valid'])
+        v2 = {**variables, **upd1}
+        ref_feats, upd2, _, r_rois, r_valid, r_ids = \
+            frame_rois(v2, batch['ref_img'], batch['ref_gt_bboxes'],
+                       batch['ref_gt_ids'], batch['ref_gt_valid'])
+        v3 = {**v2, **upd2}
+
+        k1, k2 = jax.random.split(key)
+        losses = rpn_loss(cls[0], reg[0], anchors, batch['gt_bboxes'],
+                          batch['gt_valid'], k1)
+        rois, labels, reg_t, pos_mask, valid = rcnn_sample_rois(
+            k_rois[batch['gt_bboxes'].shape[0]:],
+            k_valid[batch['gt_bboxes'].shape[0]:],
+            batch['gt_bboxes'], batch['gt_labels'], batch['gt_valid'], k2)
+        ccls, creg, _ = module.apply(v3, feats, rois, True,
+                                     method=QDTrackModule.roi_bbox)
+        losses.update(rcnn_loss(ccls, creg, labels, reg_t, pos_mask, valid,
+                                module.num_classes))
+
+        k_emb = module.apply(v3, feats, k_rois,
+                             method=QDTrackModule.roi_embed)
+        r_emb = module.apply(v3, ref_feats, r_rois,
+                             method=QDTrackModule.roi_embed)
+        losses.update(qdtrack_track_loss(k_emb, r_emb, k_ids, r_ids,
+                                         k_valid, r_valid))
+        total = sum(losses.values())
+        return total, (losses, upd2)
+
+    return loss_fn

@@ -88,12 +88,20 @@ def delta2bbox(priors: jnp.ndarray, deltas: jnp.ndarray,
 
 def bbox2delta(priors: jnp.ndarray, gt: jnp.ndarray,
                stds: Sequence[float] = (1., 1., 1., 1.)) -> jnp.ndarray:
-    pw = priors[:, 2] - priors[:, 0]
-    ph = priors[:, 3] - priors[:, 1]
+    # sign-preserving epsilon: exactly-zero-size (clipped/padded/invalid)
+    # boxes otherwise put 1/0 into the backward pass, which leaks NaN
+    # gradients through downstream jnp.where masks (0 * inf); nonzero
+    # (including negative) sizes keep mmdet's exact numerics
+    def _nz(v):
+        return jnp.where(jnp.abs(v) < 1e-4,
+                         jnp.where(v < 0, -1e-4, 1e-4), v)
+
+    pw = _nz(priors[:, 2] - priors[:, 0])
+    ph = _nz(priors[:, 3] - priors[:, 1])
     px = (priors[:, 0] + priors[:, 2]) * 0.5
     py = (priors[:, 1] + priors[:, 3]) * 0.5
-    gw = gt[:, 2] - gt[:, 0]
-    gh = gt[:, 3] - gt[:, 1]
+    gw = _nz(gt[:, 2] - gt[:, 0])
+    gh = _nz(gt[:, 3] - gt[:, 1])
     gx = (gt[:, 0] + gt[:, 2]) * 0.5
     gy = (gt[:, 1] + gt[:, 3]) * 0.5
     d = jnp.stack([(gx - px) / pw, (gy - py) / ph,
@@ -464,6 +472,10 @@ def fpn_roi_level(rois: jnp.ndarray, num_levels: int = 4,
                   finest_scale: float = 56.0) -> jnp.ndarray:
     """mmdet SingleRoIExtractor.map_roi_levels: level =
     floor(log2(sqrt(area) / finest_scale + 1e-6)) clamped to [0, L)."""
+    # discrete selection: block gradients — sqrt has an infinite derivative
+    # at zero area (degenerate/invalid rois) which floor's zero gradient
+    # turns into NaN during backprop
+    rois = jax.lax.stop_gradient(rois)
     scale = jnp.sqrt(jnp.clip((rois[:, 2] - rois[:, 0])
                               * (rois[:, 3] - rois[:, 1]), 0, None))
     lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))

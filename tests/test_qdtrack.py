@@ -1,9 +1,12 @@
 """QDTrack: bisoftmax tracker behavior and contrastive losses
 (reference: mmtrack/models/trackers/quasi_dense_tracker.py,
 mmtrack/models/track_heads/quasi_dense_embed_head.py)."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from stereotracking_tpu.models.qdtrack import (
     QDTrackConfig, QuasiDenseEmbedHead, init_state, multi_pos_cross_entropy,
@@ -101,3 +104,63 @@ def test_embed_head_shape_and_grads():
     v = h.init(jax.random.PRNGKey(0), x)
     out = h.apply(v, x)
     assert out.shape == (3, 4)
+
+
+def test_multi_pos_cross_entropy_large_sims_stable():
+    """Unnormalized dot-product similarities reach hundreds early in
+    training; the loss must stay finite (softplus form)."""
+    sim = jnp.asarray([[500.0, -400.0], [300.0, 900.0]])
+    pos = jnp.asarray([[True, False], [False, True]])
+    valid = jnp.ones_like(pos)
+    val = float(multi_pos_cross_entropy(sim, pos, valid))
+    assert np.isfinite(val)
+    # swapped positives -> the loss must be large but finite
+    val2 = float(multi_pos_cross_entropy(sim, ~pos, valid))
+    assert np.isfinite(val2) and val2 > val
+
+
+@pytest.mark.skipif(os.environ.get('STTPU_SLOW_TESTS') != '1',
+                    reason='full QDTrack train step is compile-heavy')
+def test_qdtrack_train_loss_decreases():
+    import optax
+    from stereotracking_tpu.models.qdtrack import (QDTrackModule,
+                                                   qdtrack_train_loss_fn)
+    m = QDTrackModule(num_classes=2)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))
+    params = v['params']
+    rest = {k: x for k, x in v.items() if k != 'params'}
+    loss_fn = qdtrack_train_loss_fn(m, num_rois=16)
+    tx = optax.chain(optax.clip_by_global_norm(35.0),
+                     optax.sgd(1e-4, momentum=0.9))
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, rest, opt, batch, key):
+        (total, (losses, upd)), g = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, rest, batch, key)
+        u, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), {**rest, **upd}, opt, total
+
+    rng = np.random.RandomState(0)
+    batch = dict(
+        img=jnp.asarray(rng.rand(1, 64, 96, 3) * 255, jnp.float32),
+        ref_img=jnp.asarray(rng.rand(1, 64, 96, 3) * 255, jnp.float32),
+        gt_bboxes=jnp.asarray([[10, 10, 40, 40], [50, 20, 80, 50],
+                               [0, 0, 1, 1], [0, 0, 1, 1]], jnp.float32),
+        gt_labels=jnp.asarray([0, 1, 0, 0], jnp.int32),
+        gt_ids=jnp.asarray([5, 9, -1, -1], jnp.int32),
+        gt_valid=jnp.asarray([True, True, False, False]),
+        ref_gt_bboxes=jnp.asarray([[12, 12, 42, 42], [52, 22, 82, 52],
+                                   [0, 0, 1, 1], [0, 0, 1, 1]],
+                                  jnp.float32),
+        ref_gt_ids=jnp.asarray([5, 9, -1, -1], jnp.int32),
+        ref_gt_valid=jnp.asarray([True, True, False, False]))
+    t0 = None
+    for i in range(4):
+        params, rest, opt, total = step(params, rest, opt, batch,
+                                        jax.random.PRNGKey(i))
+        tv = float(total)
+        assert np.isfinite(tv)
+        if t0 is None:
+            t0 = tv
+    assert tv < t0
