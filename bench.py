@@ -115,10 +115,28 @@ def main():
             jax.block_until_ready(jnp.asarray(np.stack(imgs))),
             jax.block_until_ready(jnp.asarray(np.stack(disps)))))
 
+    # chunked serving shape: T frames per device program (lax.scan over
+    # the per-frame step) — amortizes the fixed per-dispatch launch cost
+    chunk = int(os.environ.get('BENCH_CHUNK', '1')) if on_accel else 1
+
     # warmup / compile (frame 0 resets + main path)
-    res = ms.track_raw(*staged[0], [0] * n_streams)
-    res = ms.track_raw(*staged[1], [1] * n_streams)
-    jax.block_until_ready(res)
+    if chunk > 1:
+        imgs_c = jnp.stack([staged[t % len(staged)][0]
+                            for t in range(chunk)])
+        disps_c = jnp.stack([staged[t % len(staged)][1]
+                             for t in range(chunk)])
+
+        def run_chunk(t0):
+            fids = jnp.asarray([[t0 + k] * n_streams
+                                for k in range(chunk)], jnp.int32)
+            return ms.track_raw_chunk(imgs_c, disps_c, fids)
+
+        res = run_chunk(0)
+        jax.block_until_ready(res)
+    else:
+        res = ms.track_raw(*staged[0], [0] * n_streams)
+        res = ms.track_raw(*staged[1], [1] * n_streams)
+        jax.block_until_ready(res)
 
     # optional profiler trace (SURVEY.md section 5: jax.profiler wiring);
     # BENCH_PROFILE=<dir> writes an xplane trace of the timed loop
@@ -129,16 +147,26 @@ def main():
 
     start = time.perf_counter()
     with trace_cm:
-        for t in range(2, n_steps + 2):
-            res = ms.track_raw(*staged[t % len(staged)], [t] * n_streams)
+        if chunk > 1:
+            n_disp = max(1, n_steps // chunk)
+            for d in range(n_disp):
+                res = run_chunk(2 + d * chunk)
+            n_frames = n_disp * chunk
+        else:
+            for t in range(2, n_steps + 2):
+                res = ms.track_raw(*staged[t % len(staged)],
+                                   [t] * n_streams)
+            n_frames = n_steps
         # D2H fetch: through the dev tunnel block_until_ready alone does not
         # reliably block until device completion, a value fetch does.
         _ = float(np.asarray(res.track_valid).sum())
     elapsed = time.perf_counter() - start
 
-    fps = n_steps * n_streams / elapsed
+    fps = n_frames * n_streams / elapsed
     import os as _os
     name = f'stereo_pairs_per_sec_per_chip_{h}p_{n_streams}streams'
+    if chunk > 1:
+        name += f'_chunk{chunk}'
     if _os.environ.get('_BENCH_CPU_FALLBACK') == '1':
         name += '_TPU_WEDGED_cpu_fallback'
     out = {

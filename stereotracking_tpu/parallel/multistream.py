@@ -129,3 +129,42 @@ class MultiStreamTracker:
         if self.mesh is not None:
             self.states = jax.device_put(
                 self.states, NamedSharding(self.mesh, P(self.stream_axis)))
+
+    def track_raw_chunk(self, imgs_u8, disps_u16, frame_ids,
+                        scale_factor: Tuple[float, float] = (1.0, 1.0)):
+        """Advance all streams T frames in ONE device program.
+
+        ``imgs_u8``: (T, S, H, W, 3) uint8; ``disps_u16``: (T, S, H, W)
+        uint16; ``frame_ids``: (T, S). A ``lax.scan`` over the per-frame
+        step carries the tracker states on-device — a production serving
+        shape: per-program dispatch overhead (fixed cost per XLA launch;
+        ~2.4 ms through the dev tunnel) is paid once per T frames instead
+        of per frame. Returns FrameResults stacked on a leading T axis."""
+        from ..models.preprocessor import padded_shape
+        h, w = imgs_u8.shape[2], imgs_u8.shape[3]
+        oh, ow = padded_shape(h, w)
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P(None, self.stream_axis))
+            imgs_u8 = jax.device_put(imgs_u8, sh)
+            disps_u16 = jax.device_put(disps_u16, sh)
+        if not hasattr(self, '_step_raw_chunk'):
+            def _chunk(variables, states, imgs, disps, fids, out_h, out_w,
+                       scale_factor):
+                fn = functools.partial(
+                    predict_frame_raw, variables, self.module,
+                    cfg=self.cfg, out_h=out_h, out_w=out_w,
+                    scale_factor=scale_factor)
+
+                def body(st, x):
+                    im, dp, fi = x
+                    return jax.vmap(fn)(st, im, dp, fi)
+
+                return jax.lax.scan(body, states, (imgs, disps, fids))
+
+            self._step_raw_chunk = jax.jit(
+                _chunk, static_argnames=('out_h', 'out_w', 'scale_factor'))
+        self.states, results = self._step_raw_chunk(
+            self.variables, self.states, imgs_u8, disps_u16,
+            jnp.asarray(frame_ids, jnp.int32), out_h=oh, out_w=ow,
+            scale_factor=scale_factor)
+        return results
