@@ -277,3 +277,105 @@ class MaskTrackRCNNStreaming:
         return dict(bboxes=res.boxes, scores=res.scores,
                     labels=res.labels, masks=masks, instances_id=ids,
                     valid=res.valid & (ids >= 0))
+
+
+def masktrack_train_loss_fn(module: MaskTrackRCNNModule, num_rois: int = 64):
+    """Build the jitted MaskTrack R-CNN training loss over a key/ref
+    frame pair (reference masktrack_rcnn.py loss path: Mask R-CNN
+    detector losses + the track-head cross-entropy over ref-frame
+    instance matching, roi_track_head.py loss):
+
+    * RPN BCE+L1 and RCNN CE+L1 on the key frame (shared two-stage
+      samplers);
+    * mask head: per-instance BCE of the 28x28 logits (gt-label channel)
+      against the gt mask cropped to the box — heads are trained on the
+      gt boxes (cited simplification of sampled positive rois; the
+      limiting case of the reference's sampler);
+    * track head: CE over ``similarity_logits`` columns [dummy, ref...]
+      with target = matching ref instance (dummy when unmatched).
+
+    ``batch``: img/ref_img (1, H, W, 3); gt_bboxes (G, 4), gt_labels,
+    gt_ids, gt_valid; gt_masks (G, H, W) float in {0,1};
+    ref_gt_bboxes/ref_gt_ids/ref_gt_valid.
+    """
+    from ...ops.roi_align import roi_align
+    from ..two_stage import (TwoStageConfig, fpn_anchors, rcnn_loss,
+                             rcnn_sample_rois, rpn_loss, rpn_proposals)
+
+    cfg = module.cfg
+
+    def loss_fn(params, rest, batch, key):
+        variables = {'params': params, **rest}
+        img, ref_img = batch['img'], batch['ref_img']
+        feats, upd = module.apply(
+            variables, img, True, method=MaskTrackRCNNModule.extract_feat,
+            mutable=['batch_stats'])
+        v2 = {**variables, **upd}
+        ref_feats, upd2 = module.apply(
+            v2, ref_img, True, method=MaskTrackRCNNModule.extract_feat,
+            mutable=['batch_stats'])
+        v3 = {**v2, **upd2}
+
+        cls, reg = module.apply(v3, feats, True,
+                                method=MaskTrackRCNNModule.rpn_all_levels)
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchors = jnp.asarray(fpn_anchors(shapes, cfg.anchor_scales,
+                                          cfg.anchor_ratios))
+        k1, k2 = jax.random.split(key)
+        losses = rpn_loss(cls[0], reg[0], anchors, batch['gt_bboxes'],
+                          batch['gt_valid'], k1)
+        rois, _, rvalid = rpn_proposals(
+            cls[0], reg[0], anchors, (img.shape[1], img.shape[2]), cfg)
+        s_rois, s_labels, s_regt, s_pos, s_valid = rcnn_sample_rois(
+            rois[:num_rois], rvalid[:num_rois], batch['gt_bboxes'],
+            batch['gt_labels'], batch['gt_valid'], k2)
+        ccls, creg, _ = module.apply(v3, feats, s_rois, True,
+                                     method=MaskTrackRCNNModule.roi_bbox)
+        losses.update(rcnn_loss(ccls, creg, s_labels, s_regt, s_pos,
+                                s_valid, cfg.num_classes))
+
+        # ---- mask head on the gt boxes
+        g = batch['gt_bboxes'].shape[0]
+        mlogits = module.apply(v3, feats, batch['gt_bboxes'], True,
+                               method=MaskTrackRCNNModule.roi_mask)
+        msize = mlogits.shape[1]
+        sel = jnp.take_along_axis(
+            mlogits, jnp.clip(batch['gt_labels'], 0, cfg.num_classes - 1)
+            [:, None, None, None], axis=-1)[..., 0]       # (G, 28, 28)
+        tgt = jax.vmap(lambda m, b: roi_align(
+            m[:, :, None], b[None], msize, 1.0)[0, :, :, 0])(
+            batch['gt_masks'], batch['gt_bboxes'])
+        tgt = (tgt > 0.5).astype(jnp.float32)
+        bce = optax_sigmoid_bce(sel, tgt).mean(axis=(1, 2))
+        vmask = batch['gt_valid']
+        losses['loss_mask'] = (bce * vmask).sum() / jnp.maximum(
+            vmask.sum(), 1)
+
+        # ---- track head: key gt embeds vs ref gt embeds
+        k_emb = module.apply(v3, feats, batch['gt_bboxes'],
+                             method=MaskTrackRCNNModule.roi_embed)
+        r_emb = module.apply(v3, ref_feats, batch['ref_gt_bboxes'],
+                             method=MaskTrackRCNNModule.roi_embed)
+        sim = similarity_logits(k_emb, r_emb)             # (G, R+1)
+        col_valid = jnp.concatenate(
+            [jnp.ones((1,), bool), batch['ref_gt_valid']])
+        sim = jnp.where(col_valid[None, :], sim, -1e9)
+        match = (batch['gt_ids'][:, None] == batch['ref_gt_ids'][None, :]) \
+            & batch['ref_gt_valid'][None, :] & (batch['gt_ids'][:, None] >= 0)
+        target = jnp.where(match.any(axis=1),
+                           jnp.argmax(match, axis=1) + 1, 0)
+        logp = jax.nn.log_softmax(sim, axis=1)
+        ce = -jnp.take_along_axis(logp, target[:, None], axis=1)[:, 0]
+        losses['loss_track'] = (ce * vmask).sum() / jnp.maximum(
+            vmask.sum(), 1)
+
+        total = sum(losses.values())
+        return total, (losses, upd2)
+
+    return loss_fn
+
+
+def optax_sigmoid_bce(logits, targets):
+    """Elementwise sigmoid binary cross-entropy (stable form)."""
+    return jnp.maximum(logits, 0) - logits * targets \
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))

@@ -123,3 +123,57 @@ def test_masktrack_streaming_end_to_end():
                                   jnp.float32), f)
         assert np.isfinite(np.asarray(out['bboxes'])).all()
         assert out['masks'].shape[1:] == (28, 28, 5)
+
+
+@pytest.mark.skipif(os.environ.get('STTPU_SLOW_TESTS') != '1',
+                    reason='full MaskTrack train step is compile-heavy')
+def test_masktrack_train_loss_decreases():
+    import optax
+    from stereotracking_tpu.models.vis.masktrack_rcnn import (
+        MaskTrackRCNNModule, masktrack_train_loss_fn)
+    cfg = TwoStageConfig(num_classes=3, anchor_scales=(8,), stride=4,
+                         rpn_nms_pre=64, num_proposals=16,
+                         rcnn_max_per_img=8)
+    m = MaskTrackRCNNModule(cfg)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))
+    params = v['params']
+    rest = {k: x for k, x in v.items() if k != 'params'}
+    loss_fn = masktrack_train_loss_fn(m, num_rois=16)
+    tx = optax.chain(optax.clip_by_global_norm(35.0),
+                     optax.sgd(1e-4, momentum=0.9))
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, rest, opt, batch, key):
+        (total, (losses, upd)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, rest, batch, key)
+        u, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, u), {**rest, **upd}, opt, total
+
+    rng = np.random.RandomState(0)
+    masks = np.zeros((4, 64, 96), np.float32)
+    masks[0, 12:38, 12:38] = 1
+    masks[1, 22:48, 52:78] = 1
+    batch = dict(
+        img=jnp.asarray(rng.rand(1, 64, 96, 3) * 255, jnp.float32),
+        ref_img=jnp.asarray(rng.rand(1, 64, 96, 3) * 255, jnp.float32),
+        gt_bboxes=jnp.asarray([[10, 10, 40, 40], [50, 20, 80, 50],
+                               [0, 0, 1, 1], [0, 0, 1, 1]], jnp.float32),
+        gt_labels=jnp.asarray([0, 1, 0, 0], jnp.int32),
+        gt_ids=jnp.asarray([5, 9, -1, -1], jnp.int32),
+        gt_valid=jnp.asarray([True, True, False, False]),
+        gt_masks=jnp.asarray(masks),
+        ref_gt_bboxes=jnp.asarray([[12, 12, 42, 42], [52, 22, 82, 52],
+                                   [0, 0, 1, 1], [0, 0, 1, 1]],
+                                  jnp.float32),
+        ref_gt_ids=jnp.asarray([5, 9, -1, -1], jnp.int32),
+        ref_gt_valid=jnp.asarray([True, True, False, False]))
+    t0 = None
+    for i in range(4):
+        params, rest, opt, total = step(params, rest, opt, batch,
+                                        jax.random.PRNGKey(i))
+        tv = float(total)
+        assert np.isfinite(tv)
+        if t0 is None:
+            t0 = tv
+    assert tv < t0
