@@ -118,3 +118,31 @@ def draw_mot_errors(img_bgr: np.ndarray, gt_bboxes: np.ndarray,
         d.text((float(box[0]), float(box[3])), 'FN',
                fill=ERROR_COLORS['FN'])
     return np.asarray(im), new_match
+
+
+def paste_mask(mask_prob: np.ndarray, box_xyxy, height: int, width: int
+               ) -> np.ndarray:
+    """Paste a small mask-probability patch (e.g. the 28x28 head output)
+    into an HxW bool mask over the box extent (mmdet _do_paste_mask
+    semantics, bilinear)."""
+    x1, y1, x2, y2 = [int(round(float(v))) for v in box_xyxy]
+    x1, y1 = max(x1, 0), max(y1, 0)
+    x2 = min(max(x2, x1 + 1), width)
+    y2 = min(max(y2, y1 + 1), height)
+    patch = Image.fromarray(
+        (np.asarray(mask_prob, np.float32) * 255).astype(np.uint8))
+    patch = patch.resize((x2 - x1, y2 - y1), Image.BILINEAR)
+    out = np.zeros((height, width), bool)
+    out[y1:y2, x1:x2] = np.asarray(patch) > 127
+    return out
+
+
+def overlay_masks(img_rgb: np.ndarray, masks: np.ndarray,
+                  ids: np.ndarray, alpha: float = 0.5) -> np.ndarray:
+    """Blend per-instance bool masks (N, H, W) into the RGB image with
+    id-seeded colors."""
+    out = np.asarray(img_rgb, np.float32).copy()
+    for m, tid in zip(masks, ids):
+        color = np.asarray(id_color(int(tid)), np.float32)
+        out[m] = out[m] * (1 - alpha) + color * alpha
+    return out.astype(np.uint8)
