@@ -382,54 +382,65 @@ class SiamRPNTracker:
         cls_score, bbox_pred = self.module.apply(
             self.variables, state.z_feats, x_feats,
             method=SiamRPNModule.rpn)
-        scale_factor = cfg.exemplar_size / z_size
-
-        # flatten spatial-major anchor-minor; NHWC channels are
-        # (anchor-major, 2/4-minor)? The torch layout is (2, K, H, W) ->
-        # permute(H, W, K, 2): channel c = a*2 + j after our NHWC conv
-        # emits (..., 2K) with the SAME (j-major? ) — we define our conv
-        # output channel as j*K + a to match the reference's
-        # view(2, -1, H, W) split, see _split_channels.
-        n, h, w, _ = cls_score.shape
-        cls = cls_score.reshape(h * w, 2, 5).transpose(0, 2, 1).reshape(-1, 2)
-        score = jax.nn.softmax(cls, axis=-1)[:, 1]
-        reg = bbox_pred.reshape(h * w, 4, 5).transpose(0, 2, 1).reshape(-1, 4)
-        boxes = delta_decode(self.anchors, reg)         # xyxy, center origin
-
-        bw = boxes[:, 2] - boxes[:, 0]
-        bh = boxes[:, 3] - boxes[:, 1]
-        bx = (boxes[:, 0] + boxes[:, 2]) * 0.5
-        by = (boxes[:, 1] + boxes[:, 3]) * 0.5
-
-        def change(r):
-            return jnp.maximum(r, 1.0 / r)
-
-        def enlarge(wd, ht):
-            pad = (wd + ht) * 0.5
-            return jnp.sqrt((wd + pad) * (ht + pad))
-
-        s_pen = change(enlarge(bw, bh) /
-                       enlarge(bbox[2] * scale_factor,
-                               bbox[3] * scale_factor))
-        r_pen = change((bbox[2] / bbox[3]) / (bw / bh))
-        penalty = jnp.exp(-(r_pen * s_pen - 1) * cfg.penalty_k)
-        pscore = penalty * score
-        pscore = pscore * (1 - cfg.window_influence) \
-            + self.window * cfg.window_influence
-
-        best = jnp.argmax(pscore)
-        best_score = score[best]
-        lr = penalty[best] * best_score * cfg.lr
-        cx = bx[best] / scale_factor + bbox[0]
-        cy = by[best] / scale_factor + bbox[1]
-        nw = bbox[2] * (1 - lr) + (bw[best] / scale_factor) * lr
-        nh = bbox[3] * (1 - lr) + (bh[best] / scale_factor) * lr
-
-        h_img, w_img = img.shape[0], img.shape[1]
-        new_bbox = jnp.stack([
-            jnp.clip(cx, 0., w_img), jnp.clip(cy, 0., h_img),
-            jnp.clip(nw, 10., w_img), jnp.clip(nh, 10., h_img)])
+        new_bbox, best_score = siamrpn_postprocess(
+            cls_score, bbox_pred, bbox, z_size, self.anchors,
+            self.window, cfg, (img.shape[0], img.shape[1]))
         out_xyxy = jnp.stack([
             new_bbox[0] - new_bbox[2] / 2, new_bbox[1] - new_bbox[3] / 2,
             new_bbox[0] + new_bbox[2] / 2, new_bbox[1] + new_bbox[3] / 2])
         return state._replace(bbox=new_bbox), (out_xyxy, best_score)
+
+
+def siamrpn_postprocess(cls_score, bbox_pred, bbox, z_size, anchors,
+                        window, cfg: SiamRPNTestCfg, img_hw):
+    """Penalty/window argmax + size smoothing (siamese_rpn_head.py
+    get_bbox semantics). ``bbox`` is the previous cxcywh state;
+    returns (new cxcywh bbox, best raw score)."""
+    h_img, w_img = img_hw
+    scale_factor = cfg.exemplar_size / z_size
+
+    # flatten spatial-major anchor-minor; NHWC channels are
+    # (anchor-major, 2/4-minor)? The torch layout is (2, K, H, W) ->
+    # permute(H, W, K, 2): channel c = a*2 + j after our NHWC conv
+    # emits (..., 2K) with the SAME (j-major? ) — we define our conv
+    # output channel as j*K + a to match the reference's
+    # view(2, -1, H, W) split, see _split_channels.
+    n, h, w, _ = cls_score.shape
+    cls = cls_score.reshape(h * w, 2, 5).transpose(0, 2, 1).reshape(-1, 2)
+    score = jax.nn.softmax(cls, axis=-1)[:, 1]
+    reg = bbox_pred.reshape(h * w, 4, 5).transpose(0, 2, 1).reshape(-1, 4)
+    boxes = delta_decode(anchors, reg)         # xyxy, center origin
+
+    bw = boxes[:, 2] - boxes[:, 0]
+    bh = boxes[:, 3] - boxes[:, 1]
+    bx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+    by = (boxes[:, 1] + boxes[:, 3]) * 0.5
+
+    def change(r):
+        return jnp.maximum(r, 1.0 / r)
+
+    def enlarge(wd, ht):
+        pad = (wd + ht) * 0.5
+        return jnp.sqrt((wd + pad) * (ht + pad))
+
+    s_pen = change(enlarge(bw, bh) /
+                   enlarge(bbox[2] * scale_factor,
+                           bbox[3] * scale_factor))
+    r_pen = change((bbox[2] / bbox[3]) / (bw / bh))
+    penalty = jnp.exp(-(r_pen * s_pen - 1) * cfg.penalty_k)
+    pscore = penalty * score
+    pscore = pscore * (1 - cfg.window_influence) \
+        + window * cfg.window_influence
+
+    best = jnp.argmax(pscore)
+    best_score = score[best]
+    lr = penalty[best] * best_score * cfg.lr
+    cx = bx[best] / scale_factor + bbox[0]
+    cy = by[best] / scale_factor + bbox[1]
+    nw = bbox[2] * (1 - lr) + (bw[best] / scale_factor) * lr
+    nh = bbox[3] * (1 - lr) + (bh[best] / scale_factor) * lr
+
+    new_bbox = jnp.stack([
+        jnp.clip(cx, 0., w_img), jnp.clip(cy, 0., h_img),
+        jnp.clip(nw, 10., w_img), jnp.clip(nh, 10., h_img)])
+    return new_bbox, best_score
