@@ -140,3 +140,33 @@ def test_inference_vid_api_all_methods():
             img = rng.rand(64, 96, 3).astype(np.float32) * 255
             state, out = inference_vid(m, img, f, state)
             assert np.isfinite(out['bboxes']).all()
+
+
+def test_flow_warp_matches_torch_grid_sample():
+    """A/B the bilinear warp against torch F.grid_sample with
+    align_corners=True + border padding (the reference flow_warp_feats
+    sampling mode) on same-resolution flow."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(0)
+    n, h, w, c = 2, 9, 13, 5
+    feat = rng.rand(n, h, w, c).astype(np.float32)
+    flow = (rng.randn(n, h, w, 2) * 2.5).astype(np.float32)
+
+    got = np.asarray(flow_warp_feats(jnp.asarray(feat),
+                                     jnp.asarray(flow)))
+
+    tf = torch.from_numpy(feat).permute(0, 3, 1, 2)
+    gy, gx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing='ij')
+    sx = gx[None] + flow[..., 0]
+    sy = gy[None] + flow[..., 1]
+    # normalize to [-1, 1] (align_corners=True convention)
+    nx = 2 * sx / (w - 1) - 1
+    ny = 2 * sy / (h - 1) - 1
+    grid = torch.from_numpy(np.stack([nx, ny], -1))
+    ref = F.grid_sample(tf, grid, mode='bilinear', padding_mode='border',
+                        align_corners=True)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
