@@ -11,10 +11,16 @@ tao_metrics.py:
   side's area to the union only) — ytviseval's spatio-temporal IoU;
 * COCO AP protocol per category: predictions ranked by score, greedy
   matching at each IoU threshold (0.50:0.95:0.05), 101-point
-  interpolated precision, averaged over thresholds and categories.
-
-Deviation (cited): TAO's federated per-category handling (unknown
-negatives) is not replicated — categories are evaluated exhaustively.
+  interpolated precision, averaged over thresholds and categories;
+* TAO federated category handling (tao_metrics.py:380-392 passes each
+  video's ``neg_category_ids`` / ``not_exhaustive_category_ids`` into the
+  TAO toolkit, whose LVIS-style rules are): for category c, predictions
+  are scored only on videos where c is *verified* — positive (has a gt
+  track of c) or explicitly negative (c in ``neg_category_ids``);
+  predictions on unverified videos are dropped, and unmatched predictions
+  on videos where c is in ``not_exhaustive_category_ids`` are ignored
+  rather than counted as false positives. Videos with no registered meta
+  are treated as exhaustively annotated (the YTVIS / non-federated case).
 """
 from __future__ import annotations
 
@@ -72,11 +78,14 @@ class TrackAPEvaluator:
 
     ``mode``: 'mask' (YouTube-VIS) or 'bbox' (TAO)."""
 
-    def __init__(self, mode: str = 'mask'):
+    def __init__(self, mode: str = 'mask', federated: bool = False):
         assert mode in ('mask', 'bbox')
         self._iou = mask_track_iou if mode == 'mask' else bbox_track_iou
         self._gt = []     # (video, label, track)
         self._pred = []   # (video, label, score, track)
+        self.federated = federated
+        self._neg_cats: Dict[str, set] = {}
+        self._not_exhaustive_cats: Dict[str, set] = {}
 
     def add_gt_track(self, video: str, label: int,
                      track: Dict[int, np.ndarray]):
@@ -85,6 +94,15 @@ class TrackAPEvaluator:
     def add_pred_track(self, video: str, label: int, score: float,
                        track: Dict[int, np.ndarray]):
         self._pred.append((video, int(label), float(score), track))
+
+    def add_video_meta(self, video: str,
+                       neg_category_ids: Sequence[int] = (),
+                       not_exhaustive_category_ids: Sequence[int] = ()):
+        """Register a video's federated annotation meta (the per-video
+        ``neg_category_ids`` / ``not_exhaustive_category_ids`` of TAO)."""
+        self._neg_cats[video] = set(int(c) for c in neg_category_ids)
+        self._not_exhaustive_cats[video] = set(
+            int(c) for c in not_exhaustive_category_ids)
 
     def evaluate(self) -> Dict[str, float]:
         cats = sorted({g[1] for g in self._gt})
@@ -96,6 +114,15 @@ class TrackAPEvaluator:
             n_gt = len(gts)
             if n_gt == 0:
                 continue
+            if self.federated:
+                # keep predictions only on videos where ``cat`` is
+                # verified: positive (has gt) or explicitly negative;
+                # videos with no registered meta stay verified
+                pos_videos = {v for v, _ in gts}
+                preds = [
+                    (v, s, t) for v, s, t in preds
+                    if v in pos_videos or v not in self._neg_cats
+                    or cat in self._neg_cats[v]]
             ious = np.zeros((len(preds), n_gt))
             for pi, (pv, _, pt) in enumerate(preds):
                 for gi, (gv, gt) in enumerate(gts):
@@ -104,12 +131,19 @@ class TrackAPEvaluator:
             for ti, thr in enumerate(IOU_THRS):
                 taken = np.zeros(n_gt, bool)
                 tp = np.zeros(len(preds))
+                keep = np.ones(len(preds), bool)
                 for pi in range(len(preds)):
                     cand = np.where(~taken & (ious[pi] >= thr))[0]
                     if len(cand):
                         best = cand[np.argmax(ious[pi][cand])]
                         taken[best] = True
                         tp[pi] = 1
+                    elif self.federated and cat in \
+                            self._not_exhaustive_cats.get(preds[pi][0], ()):
+                        # unmatched prediction on a not-exhaustively
+                        # annotated video: ignored, not a false positive
+                        keep[pi] = False
+                tp = tp[keep]
                 fp = 1 - tp
                 ctp = np.cumsum(tp)
                 cfp = np.cumsum(fp)
@@ -138,7 +172,9 @@ class YTVISMetric(TrackAPEvaluator):
 
 
 class TAOMetric(TrackAPEvaluator):
-    """TAO box-track AP (tao_metrics.py surface; non-federated)."""
+    """TAO box-track AP with federated category handling
+    (tao_metrics.py surface; register per-video ``neg_category_ids`` /
+    ``not_exhaustive_category_ids`` via :meth:`add_video_meta`)."""
 
-    def __init__(self):
-        super().__init__('bbox')
+    def __init__(self, federated: bool = True):
+        super().__init__('bbox', federated=federated)

@@ -95,15 +95,29 @@ def main():
 
     cfg = apply_overrides(load_config(args.config), args.cfg_options)
     ds_cfg = dict(cfg['test_dataloader']['dataset'])
-    ds_cfg.pop('type', None)
+    ds_type = ds_cfg.pop('type', 'MOTDispDataset')
     ds_cfg.pop('classes', None)
-    dataset = MOTDispDataset(
-        ann_file=os.path.join(ds_cfg.get('data_root', ''),
-                              ds_cfg['ann_file']),
-        data_root=ds_cfg.get('data_root', ''),
-        img_prefix=ds_cfg.get('img_prefix', ''),
-        depth_dir_name=ds_cfg.get('depth_dir_name'),
-        classes=tuple(cfg.get('classes', ())) or None)
+    if ds_type == 'DanceTrackDataset':
+        from stereotracking_tpu.data import DanceTrackDataset
+        dataset = DanceTrackDataset(
+            data_root=ds_cfg.get('data_root', ''),
+            split=ds_cfg.get('split', 'val'),
+            visibility_thr=ds_cfg.get('visibility_thr', -1.0))
+    else:
+        ds_cls = MOTDispDataset
+        kw = {}
+        if ds_type == 'MOTKittiDataset':
+            from stereotracking_tpu.data import MOTKittiDataset
+            ds_cls = MOTKittiDataset
+        elif 'path_token' in ds_cfg:
+            kw['path_token'] = ds_cfg['path_token']
+        dataset = ds_cls(
+            ann_file=os.path.join(ds_cfg.get('data_root', ''),
+                                  ds_cfg['ann_file']),
+            data_root=ds_cfg.get('data_root', ''),
+            img_prefix=ds_cfg.get('img_prefix', ''),
+            depth_dir_name=ds_cfg.get('depth_dir_name'),
+            classes=tuple(cfg.get('classes', ())) or None, **kw)
 
     # pick input shape from the first frame
     first = dataset.frame_info(dataset.video_frames(dataset.videos()[0])[0])
@@ -116,8 +130,10 @@ def main():
     model = init_model(cfg, args.checkpoint, input_shape=(oh, ow),
                        dtype=jnp.bfloat16 if args.bf16 else None)
 
+    # DanceTrack is monocular: no meaningful depths on either side
     mot_metric = MOTDroneMetrics(depth_thr=args.depth_thr,
-                                 ignore_depth=args.ignore_depth,
+                                 ignore_depth=args.ignore_depth
+                                 or ds_type == 'DanceTrackDataset',
                                  outfile_dir=os.path.join(args.work_dir,
                                                           'mot_txt'))
     coco_metric = CocoMAPEvaluator(num_classes=len(cfg.get('classes', ('x',))))
