@@ -31,6 +31,8 @@ def _split_convmodule(src: Dict[str, np.ndarray], prefix: str):
     if w is None:
         return None
     out = {'conv': {'kernel': np.transpose(w, (2, 3, 1, 0))}}
+    if f'{prefix}.conv.bias' in src:
+        out['conv']['bias'] = np.asarray(src[f'{prefix}.conv.bias'])
     if f'{prefix}.bn.weight' in src:
         out['bn'] = {'scale': src[f'{prefix}.bn.weight'],
                      'bias': src[f'{prefix}.bn.bias']}
@@ -422,3 +424,82 @@ def convert_flownet_state_dict(src: Dict[str, np.ndarray],
     if r:
         params['predict_flow'] = r
     return params
+
+
+def convert_channel_mapper_state_dict(src: Dict[str, np.ndarray],
+                                      prefix: str = 'neck'
+                                      ) -> Tuple[Dict, Dict]:
+    """mmdet ChannelMapper (convs.{i}.conv + convs.{i}.bn, the SiamRPN++
+    neck) -> ``models.sot.siamrpn.ChannelMapperNeck`` (conv{i} / bn{i})."""
+    src = _strip(src, prefix)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    i = 0
+    while f'convs.{i}.conv.weight' in src:
+        params[f'conv{i}'] = {
+            'kernel': _t_conv(src[f'convs.{i}.conv.weight'])}
+        params[f'bn{i}'] = {'scale': np.asarray(src[f'convs.{i}.bn.weight']),
+                            'bias': np.asarray(src[f'convs.{i}.bn.bias'])}
+        stats[f'bn{i}'] = {
+            'mean': np.asarray(src[f'convs.{i}.bn.running_mean']),
+            'var': np.asarray(src[f'convs.{i}.bn.running_var'])}
+        i += 1
+    return params, stats
+
+
+def _correlation_head(src: Dict[str, np.ndarray], prefix: str
+                      ) -> Tuple[Dict, Dict]:
+    """Reference CorrelationHead (siamese_rpn_head.py:49-74:
+    kernel_convs / search_convs ConvModules + head_convs.{0,1}) ->
+    ``CorrelationHead`` (kernel_convs / search_convs / head_conv1 /
+    head_conv2 _ConvBNReLU children)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for theirs, ours in (('kernel_convs', 'kernel_convs'),
+                         ('search_convs', 'search_convs'),
+                         ('head_convs.0', 'head_conv1'),
+                         ('head_convs.1', 'head_conv2')):
+        r = _split_convmodule(src, f'{prefix}.{theirs}')
+        if r:
+            params[ours], s = r
+            if s:
+                stats[ours] = s
+    return params, stats
+
+
+def convert_siamrpn_head_state_dict(src: Dict[str, np.ndarray],
+                                    prefix: str = 'head'
+                                    ) -> Tuple[Dict, Dict]:
+    """Reference SiameseRPNHead (cls_heads.{i} / reg_heads.{i} ModuleLists
+    + cls_weight / reg_weight) -> ``SiameseRPNHead`` (cls_head{i} /
+    reg_head{i} + the softmax weight params)."""
+    src = _strip(src, prefix)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    i = 0
+    while f'cls_heads.{i}.kernel_convs.conv.weight' in src:
+        for theirs, ours in ((f'cls_heads.{i}', f'cls_head{i}'),
+                             (f'reg_heads.{i}', f'reg_head{i}')):
+            p, s = _correlation_head(src, theirs)
+            params[ours] = p
+            if s:
+                stats[ours] = s
+        i += 1
+    for w in ('cls_weight', 'reg_weight'):
+        if w in src:
+            params[w] = np.asarray(src[w])
+    return params, stats
+
+
+def convert_siamrpn_state_dict(src: Dict[str, np.ndarray]
+                               ) -> Tuple[Dict, Dict]:
+    """Full reference SiamRPN++ checkpoint (backbone SOTResNet + neck
+    ChannelMapper + head SiameseRPNHead,
+    /root/reference/configs/siamese_rpn/siamese-rpn_r50_8xb28-20e_imagenetvid-imagenetdet-coco.py)
+    -> ``models.sot.siamrpn.SiamRPNModule`` (params, batch_stats)."""
+    bp, bs = convert_resnet_state_dict(src, 'backbone')
+    np_, ns = convert_channel_mapper_state_dict(src, 'neck')
+    hp, hs = convert_siamrpn_head_state_dict(src, 'head')
+    params = {'backbone': bp, 'neck': np_, 'head': hp}
+    stats = {'backbone': bs, 'neck': ns, 'head': hs}
+    return params, stats

@@ -400,3 +400,217 @@ def test_flownet_forward_parity():
     scale = np.abs(ref).max()
     np.testing.assert_allclose(np.asarray(out) / scale, ref / scale,
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# SiamRPN++: SOTResNet backbone + ChannelMapper neck + SiameseRPNHead
+# (sot_resnet.py:55-115,200-310; siamese_rpn_head.py:49-227)
+# ---------------------------------------------------------------------------
+
+class TSOTBottleneck(torch.nn.Module):
+    def __init__(self, cin, planes, stride=1, dilation=1, downsample=False):
+        super().__init__()
+        padding = 2 - stride
+        layer_dilation = dilation
+        if dilation > 1:
+            padding = dilation
+            if downsample:
+                dilation = dilation // 2
+                padding = dilation
+        self.conv1 = torch.nn.Conv2d(cin, planes, 1, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(planes)
+        self.conv2 = torch.nn.Conv2d(planes, planes, 3, stride, padding,
+                                     dilation, bias=False)
+        self.bn2 = torch.nn.BatchNorm2d(planes)
+        self.conv3 = torch.nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = torch.nn.BatchNorm2d(planes * 4)
+        self.relu = torch.nn.ReLU()
+        self.downsample = None
+        if downsample:
+            # SOTResLayer downsample (sot_resnet.py:284-307)
+            if stride == 1 and layer_dilation == 1:
+                k, dd, pad = 1, 1, 0
+            else:
+                k = 3
+                dd = layer_dilation // 2 if layer_dilation > 1 else 1
+                pad = dd if layer_dilation > 1 else 0
+            self.downsample = torch.nn.Sequential(
+                torch.nn.Conv2d(cin, planes * 4, k, stride, pad, dd,
+                                bias=False),
+                torch.nn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        return self.relu(out + idn)
+
+
+class TSOTResNet50(torch.nn.Module):
+    def __init__(self, strides=(1, 2, 1, 1), dilations=(1, 1, 2, 4)):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(3, 64, 7, 2, 0, bias=False)  # pad 0
+        self.bn1 = torch.nn.BatchNorm2d(64)
+        self.relu = torch.nn.ReLU()
+        self.maxpool = torch.nn.MaxPool2d(3, 2, 1)
+        blocks = (3, 4, 6, 3)
+        planes = (64, 128, 256, 512)
+        cin = 64
+        for si in range(4):
+            layer = []
+            for bi in range(blocks[si]):
+                stride = strides[si] if bi == 0 else 1
+                ds = bi == 0 and (stride != 1 or cin != planes[si] * 4)
+                layer.append(TSOTBottleneck(cin, planes[si], stride,
+                                            dilations[si], ds))
+                cin = planes[si] * 4
+            self.add_module(f'layer{si + 1}', torch.nn.Sequential(*layer))
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        outs = []
+        for si in range(4):
+            x = getattr(self, f'layer{si + 1}')(x)
+            if si >= 1:
+                outs.append(x)
+        return outs
+
+
+class TChannelMapper(torch.nn.Module):
+    def __init__(self, in_channels, out_channels):
+        super().__init__()
+        self.convs = torch.nn.ModuleList()
+        for c in in_channels:
+            m = torch.nn.Module()
+            m.conv = torch.nn.Conv2d(c, out_channels, 1, bias=False)
+            m.bn = torch.nn.BatchNorm2d(out_channels)
+            self.convs.append(m)
+
+    def forward(self, feats):
+        return [m.bn(m.conv(f)) for m, f in zip(self.convs, feats)]
+
+
+class TCorrelationHead(torch.nn.Module):
+    def __init__(self, cin, mid, cout):
+        super().__init__()
+
+        def convbn(ci, co, k, bn=True, bias=False):
+            m = torch.nn.Module()
+            m.conv = torch.nn.Conv2d(ci, co, k, bias=bias)
+            m.bn = torch.nn.BatchNorm2d(co) if bn else None
+            return m
+
+        self.kernel_convs = convbn(cin, mid, 3)
+        self.search_convs = convbn(cin, mid, 3)
+        self.head_convs = torch.nn.ModuleList([
+            convbn(mid, mid, 1), convbn(mid, cout, 1, bn=False, bias=True)])
+
+    @staticmethod
+    def _dw_corr(search, kernel):
+        n, c = search.shape[:2]
+        out = torch.nn.functional.conv2d(
+            search.view(1, n * c, *search.shape[2:]),
+            kernel.view(n * c, 1, *kernel.shape[2:]), groups=n * c)
+        return out.view(n, c, *out.shape[2:])
+
+    def forward(self, kernel, search):
+        relu = torch.nn.functional.relu
+        k = relu(self.kernel_convs.bn(self.kernel_convs.conv(kernel)))
+        s = relu(self.search_convs.bn(self.search_convs.conv(search)))
+        corr = self._dw_corr(s, k)
+        h0, h1 = self.head_convs
+        return h1.conv(relu(h0.bn(h0.conv(corr))))
+
+
+class TSiamRPNHead(torch.nn.Module):
+    def __init__(self, in_channels=(64, 64, 64), anchors=5):
+        super().__init__()
+        self.cls_heads = torch.nn.ModuleList(
+            [TCorrelationHead(c, c, 2 * anchors) for c in in_channels])
+        self.reg_heads = torch.nn.ModuleList(
+            [TCorrelationHead(c, c, 4 * anchors) for c in in_channels])
+        self.cls_weight = torch.nn.Parameter(torch.ones(len(in_channels)))
+        self.reg_weight = torch.nn.Parameter(torch.ones(len(in_channels)))
+
+    def forward(self, z_feats, x_feats):
+        cw = torch.nn.functional.softmax(self.cls_weight, 0)
+        rw = torch.nn.functional.softmax(self.reg_weight, 0)
+        cls = sum(cw[i] * h(z, x)
+                  for i, (h, z, x) in enumerate(zip(self.cls_heads,
+                                                    z_feats, x_feats)))
+        reg = sum(rw[i] * h(z, x)
+                  for i, (h, z, x) in enumerate(zip(self.reg_heads,
+                                                    z_feats, x_feats)))
+        return cls, reg
+
+
+class TSiamRPN(torch.nn.Module):
+    def __init__(self, neck_out=64, center=7):
+        super().__init__()
+        self.backbone = TSOTResNet50()
+        self.neck = TChannelMapper((512, 1024, 2048), neck_out)
+        self.head = TSiamRPNHead((neck_out,) * 3)
+        self.center = center
+
+    def forward(self, z, x):
+        zf = self.neck(self.backbone(z))
+        out = []
+        for f in zf:                              # center crop (siamrpn.py)
+            left = (f.shape[-1] - self.center) // 2
+            out.append(f[..., left:left + self.center,
+                         left:left + self.center])
+        xf = self.neck(self.backbone(x))
+        return self.head(out, xf)
+
+
+def test_siamrpn_full_forward_parity():
+    import jax
+
+    from stereotracking_tpu.models.sot.siamrpn import SiamRPNModule
+
+    tm = _randomize(TSiamRPN(), seed=21)
+    with torch.no_grad():
+        for p in tm.parameters():
+            if p.dim() > 1:
+                p.mul_(0.5)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params, stats = TC.convert_siamrpn_state_dict(sd)
+
+    rng = np.random.RandomState(6)
+    z = rng.randn(1, 127, 127, 3).astype(np.float32)
+    x = rng.randn(1, 255, 255, 3).astype(np.float32)
+    with torch.no_grad():
+        rc, rr = tm(_nchw(z), _nchw(x))
+
+    # The flax SiamRPNModule default is the canonical 256-channel neck;
+    # instantiate a narrow variant matching the torch replica.
+    import flax.linen as fnn
+
+    from stereotracking_tpu.models.sot.siamrpn import (ChannelMapperNeck,
+                                                       SiameseRPNHead,
+                                                       SOTResNet)
+
+    class NarrowSiamRPN(fnn.Module):
+        def setup(self):
+            self.backbone = SOTResNet()
+            self.neck = ChannelMapperNeck(out_channels=64)
+            self.head = SiameseRPNHead(in_channels=(64, 64, 64))
+
+        def __call__(self, z_img, x_img):
+            zf = self.neck(self.backbone(z_img))
+            out = []
+            for f in zf:
+                left = (f.shape[2] - 7) // 2
+                out.append(f[:, left:left + 7, left:left + 7, :])
+            xf = self.neck(self.backbone(x_img))
+            return self.head(tuple(out), tuple(xf))
+
+    with jax.default_matmul_precision('highest'):
+        cls, reg = NarrowSiamRPN().apply(
+            {'params': params, 'batch_stats': stats},
+            jnp.asarray(z), jnp.asarray(x))
+    rc, rr = _to_nhwc(rc), _to_nhwc(rr)
+    cs, rs = np.abs(rc).max(), np.abs(rr).max()
+    np.testing.assert_allclose(np.asarray(cls) / cs, rc / cs, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(reg) / rs, rr / rs, atol=2e-5)
