@@ -75,6 +75,7 @@ class ResNet(nn.Module):
     max-pool, four bottleneck stages). Used by the Stark / VID / VIS / MOT
     model families; ``out_indices`` are 0-based stage indices."""
     depth: int = 50
+    num_stages: int = 4
     strides: Tuple[int, ...] = (1, 2, 2, 2)
     dilations: Tuple[int, ...] = (1, 1, 1, 1)
     out_indices: Sequence[int] = (3,)
@@ -90,8 +91,9 @@ class ResNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         outs = []
-        for si, (planes, blocks) in enumerate(zip(STAGE_PLANES,
-                                                  RESNET50_BLOCKS)):
+        for si, (planes, blocks) in enumerate(
+                zip(STAGE_PLANES[:self.num_stages],
+                    RESNET50_BLOCKS[:self.num_stages])):
             stride, dilation = self.strides[si], self.dilations[si]
             in_ch = x.shape[-1]
             for bi in range(blocks):

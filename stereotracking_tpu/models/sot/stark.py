@@ -202,6 +202,9 @@ class StarkTransformer(nn.Module):
                                 dtype=self.dtype,
                                 name=f'dec{i}')(tgt, qpos, mem, pos_embed,
                                                 attn_mask)
+        # mmdet DetrTransformerDecoder(return_intermediate=False) applies a
+        # final LN (post_norm) on top of the last layer's norm3.
+        tgt = nn.LayerNorm(dtype=self.dtype, name='post_norm')(tgt)
         return tgt, mem
 
 
@@ -266,6 +269,7 @@ class StarkHead(nn.Module):
     stride: int = 16
     dim: int = 256
     num_query: int = 1
+    num_layers: int = 6
     with_cls_head: bool = True
     dtype: Any = jnp.float32
 
@@ -292,8 +296,8 @@ class StarkHead(nn.Module):
             'query_embed', nn.initializers.normal(1.0),
             (self.num_query, self.dim))
         out_dec, enc_mem = StarkTransformer(
-            self.dim, dtype=self.dtype, name='transformer')(
-                seq, pad, query_embed, pos)
+            self.dim, num_layers=self.num_layers, dtype=self.dtype,
+            name='transformer')(seq, pad, query_embed, pos)
 
         logits = None
         if self.with_cls_head and not skip_cls:
@@ -323,7 +327,11 @@ class StarkModule(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(out_indices=(2,), dtype=self.dtype)
+        # reference Stark backbone: ResNet-50 num_stages=3, out stage 3
+        # (no layer4 in the checkpoints)
+        self.backbone = ResNet(num_stages=3, strides=(1, 2, 2),
+                               dilations=(1, 1, 1), out_indices=(2,),
+                               dtype=self.dtype)
         self.input_proj = nn.Conv(256, (1, 1), dtype=self.dtype,
                                   name='input_proj')
         s = self.cfg

@@ -503,3 +503,139 @@ def convert_siamrpn_state_dict(src: Dict[str, np.ndarray]
     params = {'backbone': bp, 'neck': np_, 'head': hp}
     stats = {'backbone': bs, 'neck': ns, 'head': hs}
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# Stark (DETR transformer SOT; sot/stark.py + track_heads/stark_head.py)
+# ---------------------------------------------------------------------------
+
+def _mha(src: Dict[str, np.ndarray], prefix: str, heads: int = 8) -> Dict:
+    """torch ``nn.MultiheadAttention`` (in_proj_weight packed QKV +
+    out_proj) -> flax ``nn.MultiHeadDotProductAttention`` params
+    (query/key/value/out with (E, H, hd)-shaped kernels)."""
+    w = np.asarray(src[f'{prefix}.in_proj_weight'])      # (3E, E)
+    b = np.asarray(src[f'{prefix}.in_proj_bias'])        # (3E,)
+    e = w.shape[1]
+    hd = e // heads
+
+    def proj(wp, bp):
+        return {'kernel': wp.T.reshape(e, heads, hd),
+                'bias': bp.reshape(heads, hd)}
+
+    ow = np.asarray(src[f'{prefix}.out_proj.weight'])    # (E, E)
+    ob = np.asarray(src[f'{prefix}.out_proj.bias'])
+    return {'query': proj(w[:e], b[:e]),
+            'key': proj(w[e:2 * e], b[e:2 * e]),
+            'value': proj(w[2 * e:], b[2 * e:]),
+            'out': {'kernel': ow.T.reshape(heads, hd, e), 'bias': ob}}
+
+
+def _ln(src: Dict[str, np.ndarray], prefix: str) -> Dict:
+    return {'scale': np.asarray(src[f'{prefix}.weight']),
+            'bias': np.asarray(src[f'{prefix}.bias'])}
+
+
+def _ffn(src: Dict[str, np.ndarray], prefix: str) -> Dict:
+    """mmcv FFN (layers.0.0 Linear -> act -> layers.1 Linear) -> _FFN."""
+    return {'fc1': _dense(src, f'{prefix}.layers.0.0'),
+            'fc2': _dense(src, f'{prefix}.layers.1')}
+
+
+def convert_stark_transformer_state_dict(src: Dict[str, np.ndarray],
+                                         prefix: str = 'transformer',
+                                         heads: int = 8) -> Dict:
+    """mmtrack StarkTransformer (mmdet DETR encoder/decoder with
+    attentions/ffns/norms ModuleLists, stark_head.py:180-265) ->
+    ``models.sot.stark.StarkTransformer`` (enc{i} / dec{i})."""
+    src = _strip(src, prefix)
+    params: Dict[str, Any] = {}
+    i = 0
+    while f'encoder.layers.{i}.norms.0.weight' in src:
+        p = f'encoder.layers.{i}'
+        params[f'enc{i}'] = {
+            'attn': _mha(src, f'{p}.attentions.0.attn', heads),
+            'norm1': _ln(src, f'{p}.norms.0'),
+            'ffn': _ffn(src, f'{p}.ffns.0'),
+            'norm2': _ln(src, f'{p}.norms.1')}
+        i += 1
+    i = 0
+    while f'decoder.layers.{i}.norms.0.weight' in src:
+        p = f'decoder.layers.{i}'
+        params[f'dec{i}'] = {
+            'self_attn': _mha(src, f'{p}.attentions.0.attn', heads),
+            'cross_attn': _mha(src, f'{p}.attentions.1.attn', heads),
+            'norm1': _ln(src, f'{p}.norms.0'),
+            'norm2': _ln(src, f'{p}.norms.1'),
+            'norm3': _ln(src, f'{p}.norms.2'),
+            'ffn': _ffn(src, f'{p}.ffns.0')}
+        i += 1
+    if 'decoder.post_norm.weight' in src:
+        params['post_norm'] = _ln(src, 'decoder.post_norm')
+    return params
+
+
+def convert_stark_corner_head_state_dict(src: Dict[str, np.ndarray],
+                                         prefix: str = 'bbox_head'
+                                         ) -> Tuple[Dict, Dict]:
+    """Reference CornerPredictorHead (tl/br_corner_pred Sequentials of 4
+    ConvModules + 1x1 Conv2d, stark_head.py:55-65) ->
+    ``CornerPredictorHead`` ({tl,br}_conv{i} / {tl,br}_bn{i} / {tl,br}_out)."""
+    src = _strip(src, prefix)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for branch, ours in (('tl_corner_pred', 'tl'), ('br_corner_pred', 'br')):
+        for i in range(4):
+            params[f'{ours}_conv{i}'] = {
+                'kernel': _t_conv(src[f'{branch}.{i}.conv.weight']),
+                'bias': np.asarray(src[f'{branch}.{i}.conv.bias'])}
+            params[f'{ours}_bn{i}'] = {
+                'scale': np.asarray(src[f'{branch}.{i}.bn.weight']),
+                'bias': np.asarray(src[f'{branch}.{i}.bn.bias'])}
+            stats[f'{ours}_bn{i}'] = {
+                'mean': np.asarray(src[f'{branch}.{i}.bn.running_mean']),
+                'var': np.asarray(src[f'{branch}.{i}.bn.running_var'])}
+        params[f'{ours}_out'] = {
+            'kernel': _t_conv(src[f'{branch}.4.weight']),
+            'bias': np.asarray(src[f'{branch}.4.bias'])}
+    return params, stats
+
+
+def convert_stark_score_head_state_dict(src: Dict[str, np.ndarray],
+                                        prefix: str = 'cls_head') -> Dict:
+    """Reference ScoreHead (layers.{i} Linear, use_bn=False,
+    stark_head.py:129-177) -> ``ScoreHead`` (fc{i})."""
+    src = _strip(src, prefix)
+    params: Dict[str, Any] = {}
+    i = 0
+    while f'layers.{i}.weight' in src:
+        params[f'fc{i}'] = _dense(src, f'layers.{i}')
+        i += 1
+    return params
+
+
+def convert_stark_state_dict(src: Dict[str, np.ndarray]
+                             ) -> Tuple[Dict, Dict]:
+    """Full reference Stark checkpoint (backbone ResNet-50(3 stages) +
+    neck ChannelMapper(1x1, no norm) + StarkHead,
+    /root/reference/mmtrack/models/sot/stark.py) ->
+    ``models.sot.stark.StarkModule`` (params, batch_stats)."""
+    bp, bs = convert_resnet_state_dict(src, 'backbone')
+    head = {'query_embed': np.asarray(src['head.query_embedding.weight']),
+            'transformer': convert_stark_transformer_state_dict(
+                src, 'head.transformer'),
+            'bbox_head': None, 'cls_head': None}
+    cp, cs = convert_stark_corner_head_state_dict(src, 'head.bbox_head')
+    head['bbox_head'] = cp
+    cls = convert_stark_score_head_state_dict(src, 'head.cls_head')
+    if cls:
+        head['cls_head'] = cls
+    else:
+        del head['cls_head']
+    params: Dict[str, Any] = {
+        'backbone': bp,
+        'input_proj': {'kernel': _t_conv(src['neck.convs.0.conv.weight'])},
+        'head': head}
+    if 'neck.convs.0.conv.bias' in src:
+        params['input_proj']['bias'] = np.asarray(src['neck.convs.0.conv.bias'])
+    stats = {'backbone': bs, 'head': {'bbox_head': cs}}
+    return params, stats

@@ -86,8 +86,10 @@ class TBottleneck(torch.nn.Module):
 
 
 class TResNet50(torch.nn.Module):
-    def __init__(self, strides=(1, 2, 2, 2), dilations=(1, 1, 1, 1)):
+    def __init__(self, strides=(1, 2, 2, 2), dilations=(1, 1, 1, 1),
+                 num_stages=4):
         super().__init__()
+        self.num_stages = num_stages
         self.conv1 = torch.nn.Conv2d(3, 64, 7, 2, 3, bias=False)
         self.bn1 = torch.nn.BatchNorm2d(64)
         self.relu = torch.nn.ReLU()
@@ -95,7 +97,7 @@ class TResNet50(torch.nn.Module):
         blocks = (3, 4, 6, 3)
         planes = (64, 128, 256, 512)
         cin = 64
-        for si in range(4):
+        for si in range(num_stages):
             layer = []
             for bi in range(blocks[si]):
                 stride = strides[si] if bi == 0 else 1
@@ -108,7 +110,7 @@ class TResNet50(torch.nn.Module):
     def forward(self, x):
         x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
         outs = []
-        for si in range(4):
+        for si in range(self.num_stages):
             x = getattr(self, f'layer{si + 1}')(x)
             outs.append(x)
         return outs
@@ -614,3 +616,277 @@ def test_siamrpn_full_forward_parity():
     cs, rs = np.abs(rc).max(), np.abs(rr).max()
     np.testing.assert_allclose(np.asarray(cls) / cs, rc / cs, atol=2e-5)
     np.testing.assert_allclose(np.asarray(reg) / rs, rr / rs, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Stark: ResNet-50(3 stages) + ChannelMapper(no-norm) + DETR transformer +
+# corner/score heads (sot/stark.py; track_heads/stark_head.py; mmdet
+# Transformer/DetrTransformer* semantics incl. the decoder post_norm)
+# ---------------------------------------------------------------------------
+
+class TMMAttention(torch.nn.Module):
+    """mmcv MultiheadAttention wrapper naming: .attn = nn.MultiheadAttention."""
+
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.attn = torch.nn.MultiheadAttention(dim, heads, batch_first=True)
+
+
+class TMMFFN(torch.nn.Module):
+    """mmcv FFN naming: layers.0.0 (Linear) -> ReLU -> layers.1 (Linear)."""
+
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.layers = torch.nn.Sequential(
+            torch.nn.Sequential(torch.nn.Linear(dim, hidden),
+                                torch.nn.ReLU()),
+            torch.nn.Linear(hidden, dim))
+
+    def forward(self, x):
+        return self.layers(x)
+
+
+class TDetrEncoderLayer(torch.nn.Module):
+    def __init__(self, dim, heads, ffn):
+        super().__init__()
+        self.attentions = torch.nn.ModuleList([TMMAttention(dim, heads)])
+        self.ffns = torch.nn.ModuleList([TMMFFN(dim, ffn)])
+        self.norms = torch.nn.ModuleList(
+            [torch.nn.LayerNorm(dim) for _ in range(2)])
+
+    def forward(self, x, pos, key_padding_mask):
+        q = k = x + pos
+        a, _ = self.attentions[0].attn(q, k, x,
+                                       key_padding_mask=key_padding_mask)
+        x = self.norms[0](x + a)
+        return self.norms[1](x + self.ffns[0](x))
+
+
+class TDetrDecoderLayer(torch.nn.Module):
+    def __init__(self, dim, heads, ffn):
+        super().__init__()
+        self.attentions = torch.nn.ModuleList(
+            [TMMAttention(dim, heads) for _ in range(2)])
+        self.ffns = torch.nn.ModuleList([TMMFFN(dim, ffn)])
+        self.norms = torch.nn.ModuleList(
+            [torch.nn.LayerNorm(dim) for _ in range(3)])
+
+    def forward(self, tgt, qpos, mem, pos, key_padding_mask):
+        q = k = tgt + qpos
+        a, _ = self.attentions[0].attn(q, k, tgt)
+        tgt = self.norms[0](tgt + a)
+        a, _ = self.attentions[1].attn(tgt + qpos, mem + pos, mem,
+                                       key_padding_mask=key_padding_mask)
+        tgt = self.norms[1](tgt + a)
+        return self.norms[2](tgt + self.ffns[0](tgt))
+
+
+class TStarkTransformer(torch.nn.Module):
+    def __init__(self, dim=256, heads=8, ffn=2048, layers=2):
+        super().__init__()
+        enc = torch.nn.Module()
+        enc.layers = torch.nn.ModuleList(
+            [TDetrEncoderLayer(dim, heads, ffn) for _ in range(layers)])
+        dec = torch.nn.Module()
+        dec.layers = torch.nn.ModuleList(
+            [TDetrDecoderLayer(dim, heads, ffn) for _ in range(layers)])
+        dec.post_norm = torch.nn.LayerNorm(dim)
+        self.encoder, self.decoder = enc, dec
+
+    def forward(self, x, mask, query_embed, pos):
+        mem = x
+        for lay in self.encoder.layers:
+            mem = lay(mem, pos, mask)
+        n = x.shape[0]
+        qpos = query_embed[None].expand(n, -1, -1)
+        tgt = torch.zeros_like(qpos)
+        for lay in self.decoder.layers:
+            tgt = lay(tgt, qpos, mem, pos, mask)
+        return self.decoder.post_norm(tgt), mem
+
+
+class TCornerHead(torch.nn.Module):
+    def __init__(self, channel=256, feat_size=5, stride=16):
+        super().__init__()
+        self.feat_size, self.stride = feat_size, stride
+
+        def conv_module(ci, co):
+            m = torch.nn.Module()
+            m.conv = torch.nn.Conv2d(ci, co, 3, padding=1, bias=True)
+            m.bn = torch.nn.BatchNorm2d(co)
+            return m
+
+        c = channel
+        for name in ('tl_corner_pred', 'br_corner_pred'):
+            seq = torch.nn.Sequential(
+                conv_module(c, c), conv_module(c, c // 2),
+                conv_module(c // 2, c // 4), conv_module(c // 4, c // 8),
+                torch.nn.Conv2d(c // 8, 1, 1))
+            self.add_module(name, seq)
+
+    def _branch(self, seq, x):
+        for m in seq[:4]:
+            x = torch.nn.functional.relu(m.bn(m.conv(x)))
+        return seq[4](x)
+
+    def _soft_argmax(self, score):
+        f = self.feat_size
+        prob = torch.nn.functional.softmax(score.view(-1, f * f), dim=1)
+        coord = (torch.arange(f).float() * self.stride)
+        cx = coord.repeat(f)                        # x varies fastest
+        cy = coord.repeat_interleave(f)
+        return (prob * cx).sum(1), (prob * cy).sum(1)
+
+    def forward(self, x):
+        tl = self._branch(self.tl_corner_pred, x)
+        br = self._branch(self.br_corner_pred, x)
+        x1, y1 = self._soft_argmax(tl)
+        x2, y2 = self._soft_argmax(br)
+        return torch.stack([x1, y1, x2, y2], -1)
+
+
+class TScoreHead(torch.nn.Module):
+    def __init__(self, dim=256, layers=3):
+        super().__init__()
+        self.layers = torch.nn.ModuleList(
+            [torch.nn.Linear(dim, dim) for _ in range(layers - 1)]
+            + [torch.nn.Linear(dim, 1)])
+
+    def forward(self, x):
+        for i, lay in enumerate(self.layers):
+            x = torch.nn.functional.relu(lay(x)) \
+                if i < len(self.layers) - 1 else lay(x)
+        return x
+
+
+class TStarkHead(torch.nn.Module):
+    def __init__(self, dim=256, x_feat_size=5, layers=2):
+        super().__init__()
+        self.query_embedding = torch.nn.Embedding(1, dim)
+        self.transformer = TStarkTransformer(dim, layers=layers)
+        self.bbox_head = TCornerHead(dim, x_feat_size)
+        self.cls_head = TScoreHead(dim)
+        self.dim = dim
+
+    @staticmethod
+    def _sine_pos(mask, num_feats=128):
+        # mmcv SinePositionalEncoding(normalize=True)
+        not_mask = 1.0 - mask
+        y = not_mask.cumsum(1)
+        x = not_mask.cumsum(2)
+        eps, scale = 1e-6, 2 * np.pi
+        y = y / (y[:, -1:, :] + eps) * scale
+        x = x / (x[:, :, -1:] + eps) * scale
+        dim_t = torch.arange(num_feats).float()
+        dim_t = 10000.0 ** (2 * torch.div(dim_t, 2, rounding_mode='floor')
+                            / num_feats)
+        pos_x = x[..., None] / dim_t
+        pos_y = y[..., None] / dim_t
+        pos_x = torch.stack([pos_x[..., 0::2].sin(), pos_x[..., 1::2].cos()],
+                            dim=4).flatten(3)
+        pos_y = torch.stack([pos_y[..., 0::2].sin(), pos_y[..., 1::2].cos()],
+                            dim=4).flatten(3)
+        return torch.cat([pos_y, pos_x], dim=3)      # (N, H, W, 2*num_feats)
+
+    def forward(self, feats, masks):
+        seqs, pads, poss = [], [], []
+        for f, m in zip(feats, masks):               # f: (N, C, h, w)
+            n, c, hh, ww = f.shape
+            mf = torch.nn.functional.interpolate(
+                m[None].float(), size=(hh, ww)).to(torch.bool)[0]
+            pos = self._sine_pos(mf.float(), self.dim // 2)
+            seqs.append(f.flatten(2).transpose(1, 2))
+            pads.append(mf.flatten(1))
+            poss.append(pos.flatten(1, 2))
+        seq = torch.cat(seqs, 1)
+        pad = torch.cat(pads, 1)
+        pos = torch.cat(poss, 1)
+        out_dec, enc_mem = self.transformer(seq, pad,
+                                            self.query_embedding.weight, pos)
+        logits = self.cls_head(out_dec)
+        x_len = self.bbox_head.feat_size ** 2
+        x_feat = enc_mem[:, -x_len:, :]              # (N, HW, C)
+        att = torch.matmul(x_feat, out_dec.transpose(1, 2))  # (N, HW, Q)
+        bf = x_feat.unsqueeze(-1) * att.unsqueeze(-2)        # (N, HW, C, Q)
+        n = bf.shape[0]
+        fs = self.bbox_head.feat_size
+        bf = bf.permute(0, 3, 2, 1).reshape(n, self.dim, fs, fs)
+        return logits, self.bbox_head(bf)
+
+
+class TStark(torch.nn.Module):
+    def __init__(self, x_feat_size=5, layers=2):
+        super().__init__()
+        self.backbone = TResNet50(strides=(1, 2, 2), dilations=(1, 1, 1),
+                                  num_stages=3)
+        neck = torch.nn.Module()
+        m = torch.nn.Module()
+        m.conv = torch.nn.Conv2d(1024, 256, 1, bias=True)
+        neck.convs = torch.nn.ModuleList([m])
+        self.neck = neck
+        self.head = TStarkHead(256, x_feat_size, layers)
+
+    def forward(self, z_imgs, z_masks, x_img, x_mask):
+        feats, masks = [], []
+        for img, mk in zip(z_imgs + [x_img], z_masks + [x_mask]):
+            f = self.backbone(img)[-1]
+            feats.append(self.neck.convs[0].conv(f))
+            masks.append(mk)
+        return self.head(feats, masks)
+
+
+def test_stark_full_forward_parity():
+    import jax
+
+    z_size, x_size, layers = 64, 80, 2
+    tm = _randomize(TStark(x_feat_size=x_size // 16, layers=layers), seed=11)
+    with torch.no_grad():
+        for p in tm.parameters():
+            if p.dim() > 1:
+                p.mul_(0.2)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params, stats = TC.convert_stark_state_dict(sd)
+
+    rng = np.random.RandomState(7)
+    z = [rng.randn(1, z_size, z_size, 3).astype(np.float32)
+         for _ in range(2)]
+    x = rng.randn(1, x_size, x_size, 3).astype(np.float32)
+    # padding bands aligned to the 16px feature stride so torch nearest
+    # interpolation and jax nearest resize agree exactly
+    zm = np.zeros((1, z_size, z_size), np.float32)
+    zm[:, -16:, :] = 1.0
+    xm = np.zeros((1, x_size, x_size), np.float32)
+    xm[:, :, -32:] = 1.0
+
+    with torch.no_grad():
+        t_logits, t_bbox = tm([_nchw(zi) for zi in z],
+                              [torch.from_numpy(zm)] * 2,
+                              _nchw(x), torch.from_numpy(xm))
+
+    import flax.linen as fnn
+
+    from stereotracking_tpu.models.sot.stark import StarkHead
+
+    class NarrowStark(fnn.Module):
+        def setup(self):
+            self.backbone = ResNet(num_stages=3, strides=(1, 2, 2),
+                                   dilations=(1, 1, 1), out_indices=(2,))
+            self.input_proj = fnn.Conv(256, (1, 1), name='input_proj')
+            self.head = StarkHead(z_feat_size=z_size // 16,
+                                  x_feat_size=x_size // 16,
+                                  num_layers=layers)
+
+        def __call__(self, z_imgs, z_masks, x_img, x_mask):
+            feats = [self.input_proj(self.backbone(i)[0])
+                     for i in z_imgs + [x_img]]
+            return self.head(feats, list(z_masks) + [x_mask])
+
+    with jax.default_matmul_precision('highest'):
+        logits, bbox = NarrowStark().apply(
+            {'params': params, 'batch_stats': stats},
+            [jnp.asarray(zi) for zi in z], [jnp.asarray(zm)] * 2,
+            jnp.asarray(x), jnp.asarray(xm))
+    np.testing.assert_allclose(np.asarray(logits).ravel(),
+                               t_logits.numpy().ravel(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(bbox).ravel(),
+                               t_bbox.numpy().ravel(), atol=2e-3)
