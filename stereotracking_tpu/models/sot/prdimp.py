@@ -20,10 +20,12 @@ Re-creates the reference PrDiMP stack:
   proposal features, gradient ASCENT on relative box coords — done here
   with jax.grad instead of torch autograd handles)
 
-Known deviations (cited, capability-equivalent): PrRoIPool is evaluated
-as dense-sampled RoIAlign (sampling_ratio=4) rather than the exact
-integral pooling; the first-frame augmentation set drops the rotation
-transform (the rest — identity, relative shifts, horizontal flip,
+PrRoIPool is evaluated EXACTLY via the closed-form separable
+hat-integral pooling in ``ops/prroi_pool.py`` (the analytic integral of
+the bilinear surface — same semantics as the reference CUDA kernel,
+differentiable in the roi coordinates for the IoUNet refinement).
+Known deviation (cited, capability-equivalent): the first-frame
+augmentation set drops the rotation transform (the rest — identity, relative shifts, horizontal flip,
 Gaussian blurs, dropout — is implemented).
 """
 from __future__ import annotations
@@ -37,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ...ops.roi_align import roi_align
+from ...ops.prroi_pool import prroi_pool
 from ..resnet import ResNet
 
 # localization states (prdimp_cls_head.py:409-474)
@@ -264,9 +266,9 @@ class PrDiMPClsModule(nn.Module):
         """filter_head.py:41-76: conv + target-roi pool, averaged."""
         f = self.filter_conv(cls_feats)
         pooled = jax.vmap(
-            lambda ft, bb: roi_align(ft, bb[None], self.filter_size,
-                                     1.0 / self.cfg.feat_stride,
-                                     sampling_ratio=4)[0])(f, bboxes_xyxy)
+            lambda ft, bb: prroi_pool(ft, bb[None], self.filter_size,
+                                      1.0 / self.cfg.feat_stride)[0])(
+            f, bboxes_xyxy)
         return pooled.mean(axis=0)            # (fs, fs, C)
 
     def __call__(self, backbone_feat, bboxes_xyxy):
@@ -336,12 +338,10 @@ class IoUNetModule(nn.Module):
     def modulation(self, feat3, feat4, bbox_xyxy):
         """iounet_head.py:203-243; feats (1, H, W, C), bbox (4,)."""
         c3 = self.conv3_temp(feat3)
-        r3 = roi_align(c3[0], bbox_xyxy[None], 3, 1 / 8,
-                       sampling_ratio=4)           # (1, 3, 3, 128)
+        r3 = prroi_pool(c3[0], bbox_xyxy[None], 3, 1 / 8)  # (1,3,3,128)
         f3 = self.fc3_temp(r3)                      # (1, 1, 1, 256)
         c4 = self.conv4_temp(feat4)
-        r4 = roi_align(c4[0], bbox_xyxy[None], 1, 1 / 16,
-                       sampling_ratio=4)           # (1, 1, 1, 256)
+        r4 = prroi_pool(c4[0], bbox_xyxy[None], 1, 1 / 16)  # (1,1,1,256)
         cat = jnp.concatenate([f3, r4], axis=-1)
         return (self.fc34_3_temp(cat).reshape(1, 1, 1, -1),
                 self.fc34_4_temp(cat).reshape(1, 1, 1, -1))
@@ -361,8 +361,8 @@ class IoUNetModule(nn.Module):
         xyxy = jnp.concatenate(
             [proposals_xywh[:, :2],
              proposals_xywh[:, :2] + proposals_xywh[:, 2:]], axis=1)
-        r3 = roi_align(a3[0], xyxy, 5, 1 / 8, sampling_ratio=4)
-        r4 = roi_align(a4[0], xyxy, 3, 1 / 16, sampling_ratio=4)
+        r3 = prroi_pool(a3[0], xyxy, 5, 1 / 8)
+        r4 = prroi_pool(a4[0], xyxy, 3, 1 / 16)
         f3 = self.fc3_search(r3)
         f4 = self.fc4_search(r4)
         return self.iou_predictor(
