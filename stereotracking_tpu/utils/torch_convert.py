@@ -639,3 +639,74 @@ def convert_stark_state_dict(src: Dict[str, np.ndarray]
         params['input_proj']['bias'] = np.asarray(src['neck.convs.0.conv.bias'])
     stats = {'backbone': bs, 'head': {'bbox_head': cs}}
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# PrDiMP (sot/prdimp.py + prdimp_cls_head.py + iounet_head.py + filter/*)
+# ---------------------------------------------------------------------------
+
+def convert_prdimp_cls_state_dict(src: Dict[str, np.ndarray],
+                                  prefix: str = 'cls_head') -> Dict:
+    """Reference PrDiMPClsHead (channel_mapping Sequential(Conv2d no-bias),
+    filter_initializer.filter_conv, filter_optimizer scalar params) ->
+    ``models.sot.prdimp.PrDiMPClsModule``."""
+    src = _strip(src, prefix)
+    return {
+        'channel_mapping': {
+            'kernel': _t_conv(src['channel_mapping.0.weight'])},
+        'filter_conv': {
+            'kernel': _t_conv(src['filter_initializer.filter_conv.weight']),
+            'bias': np.asarray(src['filter_initializer.filter_conv.bias'])},
+        'log_step_length': np.asarray(
+            src['filter_optimizer.log_step_length']),
+        'filter_regular': np.asarray(src['filter_optimizer.filter_regular'])}
+
+
+def convert_iounet_state_dict(src: Dict[str, np.ndarray],
+                              prefix: str = 'bbox_head'
+                              ) -> Tuple[Dict, Dict]:
+    """Reference IouNetHead (iounet_head.py:58-135) ->
+    ``models.sot.prdimp.IoUNetModule``. The LinearBlock fcs flatten torch
+    (C, k, k) inputs, the flax blocks flatten (k, k, C) — remapped via
+    ``_dense_from_chw``."""
+    src = _strip(src, prefix)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for theirs, ours in (('conv3_temp', 'conv3_temp'),
+                         ('fc3_temp', 'fc3_temp'),
+                         ('fc34_3_temp', 'fc34_3_temp'),
+                         ('conv4_temp', 'conv4_temp'),
+                         ('fc34_4_temp', 'fc34_4_temp'),
+                         ('conv3_search.0', 'conv3_search_0'),
+                         ('conv3_search.1', 'conv3_search_1'),
+                         ('conv4_search.0', 'conv4_search_0'),
+                         ('conv4_search.1', 'conv4_search_1')):
+        r = _split_convmodule(src, theirs)
+        if r:
+            params[ours], stats[ours] = r
+    for name, k in (('fc3_search', 5), ('fc4_search', 3)):
+        w = np.asarray(src[f'{name}.linear.weight'])
+        cin = w.shape[1] // (k * k)
+        params[name] = {
+            'fc': _dense_from_chw(src, f'{name}.linear', cin, k, k),
+            'bn': {'scale': np.asarray(src[f'{name}.bn.weight']),
+                   'bias': np.asarray(src[f'{name}.bn.bias'])}}
+        stats[name] = {
+            'bn': {'mean': np.asarray(src[f'{name}.bn.running_mean']),
+                   'var': np.asarray(src[f'{name}.bn.running_var'])}}
+    params['iou_predictor'] = _dense(src, 'iou_predictor')
+    return params, stats
+
+
+def convert_prdimp_state_dict(src: Dict[str, np.ndarray]
+                              ) -> Tuple[Dict, Dict]:
+    """Full reference PrDiMP checkpoint (backbone ResNet-50 out (1,2) +
+    PrDiMPClsHead + IouNetHead, /root/reference/mmtrack/models/sot/prdimp.py)
+    -> ``models.sot.prdimp.PrDiMPModule`` (params, batch_stats)."""
+    bp, bs = convert_resnet_state_dict(src, 'backbone')
+    ip, istats = convert_iounet_state_dict(src, 'bbox_head')
+    params = {'backbone': bp,
+              'classifier': convert_prdimp_cls_state_dict(src, 'cls_head'),
+              'iounet': ip}
+    stats = {'backbone': bs, 'iounet': istats}
+    return params, stats

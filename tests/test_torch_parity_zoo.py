@@ -890,3 +890,215 @@ def test_stark_full_forward_parity():
                                t_logits.numpy().ravel(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(bbox).ravel(),
                                t_bbox.numpy().ravel(), atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# PrDiMP: ResNet-50 + PrDiMPClsHead (channel mapping / filter initializer /
+# optimizer scalars) + IouNetHead (sot/prdimp.py; track_heads/
+# prdimp_cls_head.py:50-107; filter/filter_head.py:21-77;
+# track_heads/iounet_head.py:21-245).  PrRoIPool on the torch side is an
+# independent dense-quadrature evaluation of its definition (midpoint rule
+# over the bilinear surface), so the comparison also re-checks the repo's
+# closed-form pooling inside a real network.
+# ---------------------------------------------------------------------------
+
+class TCM2(torch.nn.Module):
+    """mmcv ConvModule (conv no-bias -> BN -> ReLU) with its key naming."""
+
+    def __init__(self, cin, cout, k=3, p=1):
+        super().__init__()
+        self.conv = torch.nn.Conv2d(cin, cout, k, padding=p, bias=False)
+        self.bn = torch.nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return torch.relu(self.bn(self.conv(x)))
+
+
+class TLinearBlock(torch.nn.Module):
+    """iounet_head.py:21-55 LinearBlock (flatten -> Linear -> BN2d(1x1) ->
+    ReLU)."""
+
+    def __init__(self, cin, cout, insz):
+        super().__init__()
+        self.linear = torch.nn.Linear(cin * insz * insz, cout)
+        self.bn = torch.nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        x = self.linear(x.reshape(x.shape[0], -1))
+        x = self.bn(x.reshape(x.shape[0], -1, 1, 1))
+        return torch.relu(x).reshape(x.shape[0], -1)
+
+
+class TIoUNetHead(torch.nn.Module):
+    def __init__(self, in_dim=(512, 1024), pred_in=(256, 256),
+                 pred_inter=(256, 256)):
+        super().__init__()
+        self.conv3_temp = TCM2(in_dim[0], 128)
+        self.fc3_temp = TCM2(128, 256, 3, 0)
+        self.fc34_3_temp = TCM2(512, pred_in[0], 1, 0)
+        self.conv4_temp = TCM2(in_dim[1], 256)
+        self.fc34_4_temp = TCM2(512, pred_in[1], 1, 0)
+        self.conv3_search = torch.nn.Sequential(
+            TCM2(in_dim[0], 256), TCM2(256, pred_in[0]))
+        self.conv4_search = torch.nn.Sequential(
+            TCM2(in_dim[1], 256), TCM2(256, pred_in[1]))
+        self.fc3_search = TLinearBlock(pred_in[0], pred_inter[0], 5)
+        self.fc4_search = TLinearBlock(pred_in[1], pred_inter[1], 3)
+        self.iou_predictor = torch.nn.Linear(sum(pred_inter), 1)
+
+
+class TFilterInitializer(torch.nn.Module):
+    def __init__(self, dim=512):
+        super().__init__()
+        self.filter_conv = torch.nn.Conv2d(dim, dim, 3, padding=1)
+
+
+class TFilterOptimizer(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.log_step_length = torch.nn.Parameter(torch.zeros(1))
+        self.filter_regular = torch.nn.Parameter(torch.ones(1) * 0.05)
+
+
+class TPrDiMPClsHead(torch.nn.Module):
+    def __init__(self, in_dim=1024, out_dim=512):
+        super().__init__()
+        self.channel_mapping = torch.nn.Sequential(
+            torch.nn.Conv2d(in_dim, out_dim, 3, padding=1, bias=False))
+        self.filter_initializer = TFilterInitializer(out_dim)
+        self.filter_optimizer = TFilterOptimizer()
+
+    def get_cls_feats(self, x):
+        """prdimp_cls_head.py:90-107 energy normalization."""
+        import math as _m
+        f = self.channel_mapping(x)
+        norm_scale = _m.sqrt(1.0 / (512 * 4 * 4))
+        scale = (torch.tensor(f.shape[1:]).prod() /
+                 ((f ** 2).reshape(f.shape[0], 1, 1, -1)
+                  .sum(dim=3, keepdim=True) + 1e-5)).sqrt()
+        return f * norm_scale * scale
+
+
+class TPrDiMP(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.backbone = TResNet50()
+        self.cls_head = TPrDiMPClsHead()
+        self.bbox_head = TIoUNetHead()
+
+
+def _np_prroi(feat_hwc: np.ndarray, rois_xyxy: np.ndarray, out_size: int,
+              spatial_scale: float, n: int = 128) -> np.ndarray:
+    """Independent dense-quadrature PrRoIPool (midpoint rule over the
+    zero-outside bilinear surface), vectorized over channels."""
+    h, w, c = feat_hwc.shape
+    padded = np.zeros((h + 3, w + 3, c), feat_hwc.dtype)
+    padded[1:h + 1, 1:w + 1] = feat_hwc
+    out = np.zeros((len(rois_xyxy), out_size, out_size, c), np.float64)
+    for r, roi in enumerate(np.asarray(rois_xyxy, np.float64)
+                            * spatial_scale):
+        x1, y1, x2, y2 = roi
+        bw, bh = (x2 - x1) / out_size, (y2 - y1) / out_size
+        if bw * bh <= 0:
+            continue
+        for by in range(out_size):
+            for bx in range(out_size):
+                xs = x1 + bw * (bx + (np.arange(n) + 0.5) / n)
+                ys = y1 + bh * (by + (np.arange(n) + 0.5) / n)
+                gy, gx = np.meshgrid(np.clip(ys, -1.0, float(h)),
+                                     np.clip(xs, -1.0, float(w)),
+                                     indexing='ij')
+                y0 = np.floor(gy).astype(int)
+                x0 = np.floor(gx).astype(int)
+                fy = (gy - y0)[..., None]
+                fx = (gx - x0)[..., None]
+                v = (padded[y0 + 1, x0 + 1] * (1 - fy) * (1 - fx)
+                     + padded[y0 + 1, x0 + 2] * (1 - fy) * fx
+                     + padded[y0 + 2, x0 + 1] * fy * (1 - fx)
+                     + padded[y0 + 2, x0 + 2] * fy * fx)
+                out[r, by, bx] = v.mean(axis=(0, 1))
+    return out.astype(np.float32)
+
+
+def test_prdimp_full_forward_parity():
+    import jax
+
+    from stereotracking_tpu.models.sot.prdimp import PrDiMPModule
+
+    tm = _randomize(TPrDiMP(), seed=31)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params, stats = TC.convert_prdimp_state_dict(sd)
+
+    rng = np.random.RandomState(9)
+    imgs = rng.randn(2, 128, 128, 3).astype(np.float32)
+    bboxes = np.array([[20.0, 24.0, 92.0, 100.0],
+                       [30.0, 10.0, 110.0, 90.0]], np.float32)
+    props_xywh = np.array([[18.0, 20.0, 70.0, 75.0],
+                           [25.0, 30.0, 60.0, 66.0],
+                           [10.0, 16.0, 90.0, 80.0],
+                           [40.0, 35.0, 50.0, 52.0],
+                           [22.0, 28.0, 64.0, 58.0]], np.float32)
+    props_xyxy = np.concatenate(
+        [props_xywh[:, :2], props_xywh[:, :2] + props_xywh[:, 2:]], axis=1)
+
+    # ---- torch path (quadrature pooling) ----
+    with torch.no_grad():
+        outs = tm.backbone(_nchw(imgs))
+        f3_t, f4_t = outs[1], outs[2]
+        cf_t = tm.cls_head.get_cls_feats(f4_t)
+        ff_t = tm.cls_head.filter_initializer.filter_conv(cf_t)
+        pooled = [_np_prroi(_to_nhwc(ff_t[i:i + 1])[0], bboxes[i:i + 1],
+                            4, 1 / 16)[0] for i in range(2)]
+        t_filter = np.mean(pooled, axis=0)             # (4, 4, C) HWC
+
+        c3t = tm.bbox_head.conv3_temp(f3_t[:1])
+        r3t = _np_prroi(_to_nhwc(c3t)[0], bboxes[:1], 3, 1 / 8)
+        fc3t = tm.bbox_head.fc3_temp(_nchw(r3t))
+        c4t = tm.bbox_head.conv4_temp(f4_t[:1])
+        r4t = _np_prroi(_to_nhwc(c4t)[0], bboxes[:1], 1, 1 / 16)
+        cat = torch.cat([fc3t, _nchw(r4t)], dim=1)
+        m3 = tm.bbox_head.fc34_3_temp(cat)
+        m4 = tm.bbox_head.fc34_4_temp(cat)
+        a3 = tm.bbox_head.conv3_search(f3_t) * m3
+        a4 = tm.bbox_head.conv4_search(f4_t) * m4
+        r3s = _np_prroi(_to_nhwc(a3)[0], props_xyxy, 5, 1 / 8)
+        r4s = _np_prroi(_to_nhwc(a4)[0], props_xyxy, 3, 1 / 16)
+        f3s = tm.bbox_head.fc3_search(_nchw(r3s))
+        f4s = tm.bbox_head.fc4_search(_nchw(r4s))
+        t_iou = tm.bbox_head.iou_predictor(
+            torch.cat([f3s, f4s], dim=1))[:, 0].numpy()
+
+    # ---- flax path (closed-form pooling) ----
+    mod = PrDiMPModule()
+    var = {'params': params, 'batch_stats': stats}
+    with jax.default_matmul_precision('highest'):
+        f3, f4 = mod.apply(var, jnp.asarray(imgs),
+                           method=PrDiMPModule.extract)
+        cf = mod.apply(var, f4, method=PrDiMPModule.cls_feats)
+        j_filter = mod.apply(var, cf, jnp.asarray(bboxes),
+                             method=PrDiMPModule.init_filter)
+        j_mod = mod.apply(var, f3[:1], f4[:1], jnp.asarray(bboxes[0]),
+                          method=PrDiMPModule.iou_modulation)
+        j_sf = mod.apply(var, f3, f4, method=PrDiMPModule.iou_search_feats)
+        j_iou = mod.apply(var, j_mod, j_sf, jnp.asarray(props_xywh),
+                          method=PrDiMPModule.iou_predict)
+        lsl, freg = mod.apply(var, method=PrDiMPModule.optimizer_params)
+
+    np.testing.assert_allclose(np.asarray(cf),
+                               _to_nhwc(cf_t), atol=2e-4)
+    fs = np.abs(t_filter).max()
+    np.testing.assert_allclose(np.asarray(j_filter) / fs, t_filter / fs,
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(j_mod[0]).ravel(),
+                               m3.numpy().ravel(), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(j_mod[1]).ravel(),
+                               m4.numpy().ravel(), atol=5e-3)
+    isc = np.abs(t_iou).max() + 1e-8
+    np.testing.assert_allclose(np.asarray(j_iou) / isc, t_iou / isc,
+                               atol=5e-3)
+    np.testing.assert_allclose(float(lsl),
+                               float(sd['cls_head.filter_optimizer.'
+                                        'log_step_length'][0]), atol=1e-7)
+    np.testing.assert_allclose(float(freg),
+                               float(sd['cls_head.filter_optimizer.'
+                                        'filter_regular'][0]), atol=1e-7)
