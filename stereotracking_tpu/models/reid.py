@@ -66,3 +66,47 @@ def reid_losses(emb: jnp.ndarray, logits: jnp.ndarray, labels: jnp.ndarray,
     hardest_neg = jnp.where(jnp.isinf(hardest_neg), 0.0, hardest_neg)
     triplet = jnp.mean(jnp.maximum(hardest_pos - hardest_neg + margin, 0.0))
     return dict(loss_ce=ce, loss_triplet=triplet, loss=ce + triplet)
+
+
+class FcBlock(nn.Module):
+    """Reference ``FcModule`` (reid/fc_module.py:64-71): Linear -> optional
+    BatchNorm1d -> ReLU."""
+    features: int
+    with_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(self.features, name='fc')(x)
+        if self.with_norm:
+            x = nn.BatchNorm(use_running_average=not train, name='bn')(x)
+        return nn.relu(x)
+
+
+class ResNetReID(nn.Module):
+    """Reference-architecture ReID model for loading mmtracking checkpoints:
+    ResNet-50 -> GAP -> ``num_fcs`` FcModules -> fc_out embedding
+    (reid/base_reid.py + reid/linear_reid_head.py:92-118).  ``__call__``
+    returns the post-``fc_out`` feature, matching the reference's
+    ``mode='tensor'`` inference path used by tracker ReID extraction; the
+    classifier branch (BN1d -> Linear, linear_reid_head.py:100-102,141-143)
+    is exposed via :meth:`classify` for training only."""
+    num_fcs: int = 1
+    fc_channels: int = 1024
+    out_channels: int = 128
+    num_classes: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, crops, train: bool = False):
+        from .resnet import ResNet
+        feat = ResNet(out_indices=(3,), dtype=self.dtype,
+                      name='backbone')(crops, train)[0]
+        x = jnp.mean(feat, axis=(1, 2))
+        for i in range(self.num_fcs):
+            x = FcBlock(self.fc_channels, name=f'fcs_{i}')(x, train)
+        return nn.Dense(self.out_channels, name='fc_out')(x)
+
+    @nn.compact_name_scope
+    def classify(self, emb, train: bool = False):
+        x = nn.BatchNorm(use_running_average=not train, name='bn')(emb)
+        return nn.Dense(self.num_classes, name='classifier')(x)

@@ -710,3 +710,41 @@ def convert_prdimp_state_dict(src: Dict[str, np.ndarray]
               'iounet': ip}
     stats = {'backbone': bs, 'iounet': istats}
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# ReID (reid/base_reid.py + linear_reid_head.py + fc_module.py)
+# ---------------------------------------------------------------------------
+
+def convert_reid_state_dict(src: Dict[str, np.ndarray]
+                            ) -> Tuple[Dict, Dict]:
+    """Reference BaseReID checkpoint (mmcls ResNet-50 backbone + GAP neck +
+    LinearReIDHead: ``head.fcs.{i}.{fc,bn}`` + ``head.fc_out`` + training
+    ``head.bn``/``head.classifier``, reference
+    mmtrack/models/reid/linear_reid_head.py:92-102) ->
+    ``models.reid.ResNetReID`` (params, batch_stats)."""
+    bp, bs = convert_resnet_state_dict(src, 'backbone')
+    head = _strip(src, 'head')
+    params: Dict[str, Any] = {'backbone': bp}
+    stats: Dict[str, Any] = {'backbone': bs}
+    i = 0
+    while f'fcs.{i}.fc.weight' in head:
+        params[f'fcs_{i}'] = {'fc': _dense(head, f'fcs.{i}.fc')}
+        if f'fcs.{i}.bn.weight' in head:
+            params[f'fcs_{i}']['bn'] = {
+                'scale': np.asarray(head[f'fcs.{i}.bn.weight']),
+                'bias': np.asarray(head[f'fcs.{i}.bn.bias'])}
+            stats[f'fcs_{i}'] = {'bn': {
+                'mean': np.asarray(head[f'fcs.{i}.bn.running_mean']),
+                'var': np.asarray(head[f'fcs.{i}.bn.running_var'])}}
+        i += 1
+    params['fc_out'] = _dense(head, 'fc_out')
+    if 'classifier.weight' in head:
+        params['classify'] = {
+            'bn': {'scale': np.asarray(head['bn.weight']),
+                   'bias': np.asarray(head['bn.bias'])},
+            'classifier': _dense(head, 'classifier')}
+        stats['classify'] = {'bn': {
+            'mean': np.asarray(head['bn.running_mean']),
+            'var': np.asarray(head['bn.running_var'])}}
+    return params, stats

@@ -1102,3 +1102,72 @@ def test_prdimp_full_forward_parity():
     np.testing.assert_allclose(float(freg),
                                float(sd['cls_head.filter_optimizer.'
                                         'filter_regular'][0]), atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# ReID: ResNet-50 + GAP + LinearReIDHead (reid/base_reid.py;
+# reid/linear_reid_head.py:92-118; reid/fc_module.py:64-71).
+# ---------------------------------------------------------------------------
+
+class TFcModule(torch.nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.fc = torch.nn.Linear(cin, cout)
+        self.bn = torch.nn.BatchNorm1d(cout)
+
+    def forward(self, x):
+        return torch.relu(self.bn(self.fc(x)))
+
+
+class TLinearReIDHead(torch.nn.Module):
+    def __init__(self, num_fcs=1, cin=2048, fc_channels=1024,
+                 out_channels=128, num_classes=7):
+        super().__init__()
+        self.fcs = torch.nn.ModuleList(
+            [TFcModule(cin if i == 0 else fc_channels, fc_channels)
+             for i in range(num_fcs)])
+        self.fc_out = torch.nn.Linear(
+            fc_channels if num_fcs else cin, out_channels)
+        self.bn = torch.nn.BatchNorm1d(out_channels)
+        self.classifier = torch.nn.Linear(out_channels, num_classes)
+
+    def forward(self, x):
+        for m in self.fcs:
+            x = m(x)
+        return self.fc_out(x)
+
+
+class TBaseReID(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.backbone = TResNet50()
+        self.head = TLinearReIDHead()
+
+    def forward(self, x):
+        feat = self.backbone(x)[-1].mean(dim=(2, 3))
+        return self.head(feat)
+
+
+def test_reid_full_forward_parity():
+    import jax
+
+    from stereotracking_tpu.models.reid import ResNetReID
+
+    tm = _randomize(TBaseReID(), seed=41)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params, stats = TC.convert_reid_state_dict(sd)
+
+    x = np.random.RandomState(3).randn(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        t_emb = tm(_nchw(x))
+        t_logits = tm.head.classifier(tm.head.bn(t_emb))
+
+    mod = ResNetReID(num_classes=7)
+    var = {'params': params, 'batch_stats': stats}
+    with jax.default_matmul_precision('highest'):
+        j_emb = mod.apply(var, jnp.asarray(x))
+        j_logits = mod.apply(var, j_emb, method=ResNetReID.classify)
+
+    np.testing.assert_allclose(np.asarray(j_emb), t_emb.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
+                               atol=2e-4)
