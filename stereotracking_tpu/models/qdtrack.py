@@ -35,13 +35,22 @@ class QuasiDenseEmbedHead(nn.Module):
     num_convs: int = 4
     fc_dim: int = 1024
     embed_channels: int = 256
+    use_gn: bool = False
+    gn_groups: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_convs):
-            x = nn.relu(nn.Conv(self.conv_channels, (3, 3), padding=1,
-                                dtype=self.dtype, name=f'conv{i}')(x))
+            x = nn.Conv(self.conv_channels, (3, 3), padding=1,
+                        use_bias=not self.use_gn, dtype=self.dtype,
+                        name=f'conv{i}')(x)
+            if self.use_gn:
+                # reference ConvModule norm_cfg=GN(32)
+                # (quasi-dense configs; ConvModule bias='auto' -> False)
+                x = nn.GroupNorm(num_groups=self.gn_groups,
+                                 dtype=self.dtype, name=f'gn{i}')(x)
+            x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
         x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype, name='fc')(x))
         return nn.Dense(self.embed_channels, dtype=self.dtype,
@@ -283,6 +292,7 @@ class QDTrackModule(nn.Module):
     detector+track_head pair of the reference QDTrack model
     (/root/reference/mmtrack/models/mot/qdtrack.py)."""
     num_classes: int = 1
+    embed_gn: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -292,7 +302,8 @@ class QDTrackModule(nn.Module):
         self.neck = FPN(dtype=self.dtype)
         self.rpn_head = RPNHead(3, feat_channels=256, dtype=self.dtype)
         self.bbox_head = BBoxHead(self.num_classes, dtype=self.dtype)
-        self.embed_head = QuasiDenseEmbedHead(dtype=self.dtype)
+        self.embed_head = QuasiDenseEmbedHead(use_gn=self.embed_gn,
+                                              dtype=self.dtype)
 
     def extract_feat(self, img, train: bool = False):
         return self.neck(self.backbone(img, train), train)

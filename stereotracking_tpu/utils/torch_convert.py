@@ -748,3 +748,50 @@ def convert_reid_state_dict(src: Dict[str, np.ndarray]
             'mean': np.asarray(head['bn.running_mean']),
             'var': np.asarray(head['bn.running_var'])}}
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# QDTrack (mot/qdtrack.py + track_heads/quasi_dense_embed_head.py +
+# track_heads/roi_embed_head.py:86-120)
+# ---------------------------------------------------------------------------
+
+def convert_quasi_dense_embed_head_state_dict(
+        src: Dict[str, np.ndarray],
+        prefix: str = 'track_head.embed_head',
+        roi_size: int = 7, roi_channels: int = 256) -> Dict:
+    """Reference QuasiDenseEmbedHead (convs.{i}.{conv,gn} ConvModules +
+    fcs.0 + fc_embed, quasi_dense_embed_head.py:56-75) ->
+    ``models.qdtrack.QuasiDenseEmbedHead(use_gn=True)``."""
+    src = _strip(src, prefix)
+    out: Dict[str, Any] = {}
+    i = 0
+    while f'convs.{i}.conv.weight' in src:
+        conv = {'kernel': _t_conv(src[f'convs.{i}.conv.weight'])}
+        if f'convs.{i}.conv.bias' in src:
+            conv['bias'] = np.asarray(src[f'convs.{i}.conv.bias'])
+        out[f'conv{i}'] = conv
+        if f'convs.{i}.gn.weight' in src:
+            out[f'gn{i}'] = {
+                'scale': np.asarray(src[f'convs.{i}.gn.weight']),
+                'bias': np.asarray(src[f'convs.{i}.gn.bias'])}
+        i += 1
+    out['fc'] = _dense_from_chw(src, 'fcs.0', roi_channels, roi_size,
+                                roi_size)
+    out['embed'] = _dense(src, 'fc_embed')
+    return out
+
+
+def convert_qdtrack_state_dict(src: Dict[str, np.ndarray]
+                               ) -> Tuple[Dict, Dict]:
+    """Full reference QDTrack checkpoint (detector.{backbone,neck,rpn_head,
+    roi_head.bbox_head} + track_head.embed_head) ->
+    ``models.qdtrack.QDTrackModule(embed_gn=True)`` (params, batch_stats)."""
+    bp, bs = convert_resnet_state_dict(src, 'detector.backbone')
+    params = {
+        'backbone': bp,
+        'neck': convert_fpn_state_dict(src, 'detector.neck'),
+        'rpn_head': convert_rpn_head_state_dict(src, 'detector.rpn_head'),
+        'bbox_head': convert_bbox_head_state_dict(
+            src, 7, 256, prefix='detector.roi_head.bbox_head'),
+        'embed_head': convert_quasi_dense_embed_head_state_dict(src)}
+    return params, {'backbone': bs}

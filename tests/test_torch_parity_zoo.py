@@ -1171,3 +1171,109 @@ def test_reid_full_forward_parity():
     np.testing.assert_allclose(np.asarray(j_emb), t_emb.numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
                                atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# QDTrack: quasi-dense embed head (quasi_dense_embed_head.py:56-75,
+# roi_embed_head.py:86-120 ConvModule(GN) branch) and the assembled
+# QDTrackModule with a converted full checkpoint.
+# ---------------------------------------------------------------------------
+
+class TQDEmbedHead(torch.nn.Module):
+    def __init__(self, cin=256, num_convs=4, fc_dim=1024, embed=256,
+                 roi=7, groups=32):
+        super().__init__()
+        self.convs = torch.nn.ModuleList()
+        for i in range(num_convs):
+            m = torch.nn.Module()
+            m.conv = torch.nn.Conv2d(cin if i == 0 else 256, 256, 3,
+                                     padding=1, bias=False)
+            m.gn = torch.nn.GroupNorm(groups, 256)
+            self.convs.append(m)
+        self.fcs = torch.nn.ModuleList(
+            [torch.nn.Linear(256 * roi * roi, fc_dim)])
+        self.fc_embed = torch.nn.Linear(fc_dim, embed)
+
+    def forward(self, x):
+        for m in self.convs:
+            x = torch.relu(m.gn(m.conv(x)))
+        x = x.flatten(1)
+        for fc in self.fcs:
+            x = torch.relu(fc(x))
+        return self.fc_embed(x)
+
+
+def test_qd_embed_head_forward_parity():
+    from stereotracking_tpu.models.qdtrack import QuasiDenseEmbedHead
+
+    tm = _randomize(TQDEmbedHead(), seed=51)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = TC.convert_quasi_dense_embed_head_state_dict(sd, prefix='')
+
+    x = np.random.RandomState(5).randn(6, 7, 7, 256).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(_nchw(x))
+    out = QuasiDenseEmbedHead(use_gn=True).apply(
+        {'params': params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+class TQDTrack(torch.nn.Module):
+    """detector.{backbone,neck,rpn_head,roi_head.bbox_head} +
+    track_head.embed_head key layout of the reference QDTrack."""
+
+    def __init__(self, num_classes=1):
+        super().__init__()
+        det = torch.nn.Module()
+        det.backbone = TResNet50()
+        det.neck = TFPN((256, 512, 1024, 2048), 256)
+        det.rpn_head = TRPNHead(256, 256, 3)
+        roi_head = torch.nn.Module()
+        roi_head.bbox_head = TBBoxHead(256, 7, 1024, num_classes)
+        det.roi_head = roi_head
+        self.detector = det
+        th = torch.nn.Module()
+        th.embed_head = TQDEmbedHead()
+        self.track_head = th
+
+
+def test_qdtrack_full_conversion_parity():
+    import jax
+
+    from stereotracking_tpu.models.qdtrack import QDTrackModule
+
+    tm = _randomize(TQDTrack(), seed=52)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params, stats = TC.convert_qdtrack_state_dict(sd)
+
+    x = np.random.RandomState(6).randn(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        bfeats = tm.detector.backbone(_nchw(x))
+        nfeats = tm.detector.neck(bfeats)
+        t_cls, t_reg = tm.detector.rpn_head(nfeats[0])
+    mod = QDTrackModule(embed_gn=True)
+    var = {'params': params, 'batch_stats': stats}
+    with jax.default_matmul_precision('highest'):
+        feats = mod.apply(var, jnp.asarray(x),
+                          method=QDTrackModule.extract_feat)
+        # embed head on identical pooled features (RoIAlign itself is
+        # oracle-tested separately)
+        rois = np.random.RandomState(7).randn(4, 7, 7, 256) \
+            .astype(np.float32)
+        emb = mod.apply(var, jnp.asarray(rois),
+                        method=lambda m, r: m.embed_head(r))
+        with torch.no_grad():
+            t_emb = tm.track_head.embed_head(_nchw(rois))
+            t_bc, t_br = tm.detector.roi_head.bbox_head(_nchw(rois))
+        bc, br, _ = mod.apply(var, jnp.asarray(rois),
+                              method=lambda m, r: m.bbox_head(r))
+    for f, r in zip(feats, nfeats):
+        np.testing.assert_allclose(np.asarray(f), _to_nhwc(r),
+                                   rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(emb), t_emb.numpy(),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(bc), t_bc.numpy(),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(br), t_br.numpy(),
+                               rtol=2e-3, atol=2e-3)
