@@ -795,3 +795,63 @@ def convert_qdtrack_state_dict(src: Dict[str, np.ndarray]
             src, 7, 256, prefix='detector.roi_head.bbox_head'),
         'embed_head': convert_quasi_dense_embed_head_state_dict(src)}
     return params, {'backbone': bs}
+
+
+# ---------------------------------------------------------------------------
+# MaskTrack R-CNN (vis/masktrack_rcnn.py: mmdet MaskRCNN detector +
+# track_heads/roi_track_head.py RoIEmbedHead)
+# ---------------------------------------------------------------------------
+
+def convert_fcn_mask_head_state_dict(src: Dict[str, np.ndarray],
+                                     prefix: str = 'roi_head.mask_head'
+                                     ) -> Dict:
+    """mmdet FCNMaskHead (convs.{i}.conv ConvModules + upsample
+    ConvTranspose2d + conv_logits 1x1) ->
+    ``models.vis.masktrack_rcnn.FCNMaskHead``."""
+    src = _strip(src, prefix)
+    out: Dict[str, Any] = {}
+    i = 0
+    while f'convs.{i}.conv.weight' in src:
+        out[f'conv{i}'] = _plain_conv(src, f'convs.{i}.conv')
+        i += 1
+    out['upsample'] = {'kernel': _t_deconv(src['upsample.weight']),
+                       'bias': np.asarray(src['upsample.bias'])}
+    out['logits'] = _plain_conv(src, 'conv_logits')
+    return out
+
+
+def convert_roi_embed_head_state_dict(src: Dict[str, np.ndarray],
+                                      prefix: str = 'track_head.embed_head',
+                                      roi_size: int = 7,
+                                      roi_channels: int = 256) -> Dict:
+    """Reference RoIEmbedHead fc branch (roi_embed_head.py:110-120, plain
+    nn.Linear fcs on the flattened (C, 7, 7) RoI feature) ->
+    ``models.vis.masktrack_rcnn.RoIEmbedHead`` (fc{i}, NHWC flatten)."""
+    src = _strip(src, prefix)
+    out: Dict[str, Any] = {
+        'fc0': _dense_from_chw(src, 'fcs.0', roi_channels, roi_size,
+                               roi_size)}
+    i = 1
+    while f'fcs.{i}.weight' in src:
+        out[f'fc{i}'] = _dense(src, f'fcs.{i}')
+        i += 1
+    return out
+
+
+def convert_masktrack_rcnn_state_dict(src: Dict[str, np.ndarray]
+                                      ) -> Tuple[Dict, Dict]:
+    """Full reference MaskTrackRCNN checkpoint (detector.{backbone,neck,
+    rpn_head,roi_head.{bbox_head,mask_head}} + track_head.embed_head) ->
+    ``models.vis.masktrack_rcnn.MaskTrackRCNNModule`` (params,
+    batch_stats)."""
+    bp, bs = convert_resnet_state_dict(src, 'detector.backbone')
+    params = {
+        'backbone': bp,
+        'neck': convert_fpn_state_dict(src, 'detector.neck'),
+        'rpn_head': convert_rpn_head_state_dict(src, 'detector.rpn_head'),
+        'bbox_head': convert_bbox_head_state_dict(
+            src, 7, 256, prefix='detector.roi_head.bbox_head'),
+        'mask_head': convert_fcn_mask_head_state_dict(
+            src, 'detector.roi_head.mask_head'),
+        'embed_head': convert_roi_embed_head_state_dict(src)}
+    return params, {'backbone': bs}

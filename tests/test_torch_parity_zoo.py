@@ -1277,3 +1277,142 @@ def test_qdtrack_full_conversion_parity():
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(br), t_br.numpy(),
                                rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# MaskTrack R-CNN: FCNMaskHead (mmdet: 4 convs + 2x deconv + 1x1 logits),
+# RoIEmbedHead fc branch (roi_embed_head.py:110-120), and the assembled
+# MaskTrackRCNNModule from a converted full checkpoint.
+# ---------------------------------------------------------------------------
+
+class TFCNMaskHead(torch.nn.Module):
+    def __init__(self, cin=256, num_classes=3, num_convs=4):
+        super().__init__()
+        self.convs = torch.nn.ModuleList()
+        for i in range(num_convs):
+            m = torch.nn.Module()
+            m.conv = torch.nn.Conv2d(cin if i == 0 else 256, 256, 3,
+                                     padding=1)
+            self.convs.append(m)
+        self.upsample = torch.nn.ConvTranspose2d(256, 256, 2, 2)
+        self.conv_logits = torch.nn.Conv2d(256, num_classes, 1)
+
+    def forward(self, x):
+        for m in self.convs:
+            x = torch.relu(m.conv(x))
+        x = torch.relu(self.upsample(x))
+        return self.conv_logits(x)
+
+
+class TRoIEmbedHead(torch.nn.Module):
+    def __init__(self, cin=256, roi=7, fc_dim=1024, num_fcs=2):
+        super().__init__()
+        self.fcs = torch.nn.ModuleList()
+        for i in range(num_fcs):
+            self.fcs.append(torch.nn.Linear(
+                cin * roi * roi if i == 0 else fc_dim, fc_dim))
+
+    def forward(self, x):
+        x = x.flatten(1)
+        for fc in self.fcs:
+            x = torch.relu(fc(x))
+        return x
+
+
+def test_fcn_mask_head_forward_parity():
+    import jax
+
+    from stereotracking_tpu.models.vis.masktrack_rcnn import FCNMaskHead
+
+    tm = _randomize(TFCNMaskHead(), seed=61)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = TC.convert_fcn_mask_head_state_dict(sd, prefix='')
+
+    x = np.random.RandomState(8).randn(3, 14, 14, 256).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(_nchw(x))
+    with jax.default_matmul_precision('highest'):
+        out = FCNMaskHead(num_classes=3).apply({'params': params},
+                                               jnp.asarray(x))
+    sc = np.abs(ref.numpy()).max()
+    np.testing.assert_allclose(np.asarray(out) / sc, _to_nhwc(ref) / sc,
+                               atol=1e-4)
+
+
+def test_roi_embed_head_forward_parity():
+    import jax
+
+    from stereotracking_tpu.models.vis.masktrack_rcnn import RoIEmbedHead
+
+    tm = _randomize(TRoIEmbedHead(), seed=62)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = TC.convert_roi_embed_head_state_dict(sd, prefix='')
+
+    x = np.random.RandomState(9).randn(5, 7, 7, 256).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(_nchw(x))
+    with jax.default_matmul_precision('highest'):
+        out = RoIEmbedHead().apply({'params': params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+class TMaskTrackRCNN(torch.nn.Module):
+    def __init__(self, num_classes=3):
+        super().__init__()
+        det = torch.nn.Module()
+        det.backbone = TResNet50()
+        det.neck = TFPN((256, 512, 1024, 2048), 256)
+        det.rpn_head = TRPNHead(256, 256, 3)
+        roi_head = torch.nn.Module()
+        roi_head.bbox_head = TBBoxHead(256, 7, 1024, num_classes)
+        roi_head.mask_head = TFCNMaskHead(num_classes=num_classes)
+        det.roi_head = roi_head
+        self.detector = det
+        th = torch.nn.Module()
+        th.embed_head = TRoIEmbedHead()
+        self.track_head = th
+
+
+def test_masktrack_full_conversion_parity():
+    import jax
+
+    from stereotracking_tpu.models.two_stage import TwoStageConfig
+    from stereotracking_tpu.models.vis.masktrack_rcnn import (
+        MaskTrackRCNNModule)
+
+    tm = _randomize(TMaskTrackRCNN(), seed=63)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params, stats = TC.convert_masktrack_rcnn_state_dict(sd)
+
+    x = np.random.RandomState(10).randn(1, 64, 64, 3).astype(np.float32)
+    rois = np.random.RandomState(11).randn(3, 7, 7, 256).astype(np.float32)
+    mrois = np.random.RandomState(12).randn(3, 14, 14, 256) \
+        .astype(np.float32)
+    with torch.no_grad():
+        nfeats = tm.detector.neck(tm.detector.backbone(_nchw(x)))
+        t_bc, t_br = tm.detector.roi_head.bbox_head(_nchw(rois))
+        t_mask = tm.detector.roi_head.mask_head(_nchw(mrois))
+        t_emb = tm.track_head.embed_head(_nchw(rois))
+    mod = MaskTrackRCNNModule(TwoStageConfig(num_classes=3, anchor_scales=(8,), stride=4))
+    var = {'params': params, 'batch_stats': stats}
+    with jax.default_matmul_precision('highest'):
+        feats = mod.apply(var, jnp.asarray(x),
+                          method=lambda m, im: m.neck(m.backbone(im)))
+        bc, br, _ = mod.apply(var, jnp.asarray(rois),
+                              method=lambda m, r: m.bbox_head(r))
+        mask = mod.apply(var, jnp.asarray(mrois),
+                         method=lambda m, r: m.mask_head(r))
+        emb = mod.apply(var, jnp.asarray(rois),
+                        method=lambda m, r: m.embed_head(r))
+    for f, r in zip(feats, nfeats):
+        np.testing.assert_allclose(np.asarray(f), _to_nhwc(r),
+                                   rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(bc), t_bc.numpy(),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(br), t_br.numpy(),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(mask), _to_nhwc(t_mask),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(emb), t_emb.numpy(),
+                               rtol=2e-3, atol=2e-3)
