@@ -19,15 +19,51 @@ from ..data import transforms as T
 from .builder import build_model
 
 
+def _is_torch_ckpt(path: str) -> bool:
+    return str(path).endswith(('.pth', '.pt'))
+
+
+def _merge_converted(converted, init_vars, checkpoint: str, zoo_name: str):
+    """Merge a converted reference torch checkpoint into freshly-initialized
+    variables (the reference ``init_model`` -> ``load_checkpoint`` path,
+    apis/inference.py:22-97, for published torch checkpoints).  Raises on
+    shape mismatches so a wrong architecture/checkpoint pairing fails
+    loudly."""
+    import warnings
+
+    from ..utils import torch_convert as TC
+
+    def as_mutable(t):
+        return ({k: as_mutable(v) for k, v in t.items()}
+                if isinstance(t, dict) else t)
+
+    target = as_mutable(dict(init_vars))
+    skipped = TC.merge_into(target, converted)
+    mismatched = [s for s in skipped if '(shape' in s]
+    if mismatched:
+        raise ValueError(
+            f'checkpoint {checkpoint!r} does not fit model '
+            f'{zoo_name!r}: {mismatched[:5]}')
+    if skipped:
+        warnings.warn(f'{len(skipped)} unmatched checkpoint entries '
+                      f'(first: {skipped[0]})')
+    return target
+
+
 def init_model(config: str | dict, checkpoint: Optional[str] = None,
                input_shape: Tuple[int, int] = (736, 1280),
                dtype=None) -> OCSORTDisparity:
-    """Config path/dict (+ optional orbax/msgpack checkpoint) -> model."""
+    """Config path/dict (+ optional checkpoint: orbax/msgpack, or a
+    reference torch ``.pth`` which is converted on load) -> model."""
     cfg = load_config(config) if isinstance(config, str) else config
     variables = None
     if checkpoint is not None:
-        from ..train.checkpoint import load_checkpoint
-        variables = load_checkpoint(checkpoint)
+        if _is_torch_ckpt(checkpoint):
+            from ..utils import torch_convert as TC
+            variables = TC.convert_zoo_checkpoint(checkpoint, 'mot')
+        else:
+            from ..train.checkpoint import load_checkpoint
+            variables = load_checkpoint(checkpoint)
     model = build_model(cfg, variables=variables, input_shape=input_shape,
                         dtype=dtype)
     model.config_dict = cfg
@@ -95,14 +131,31 @@ def inference_mot(model: OCSORTDisparity, img: np.ndarray,
 
 
 def init_sot_model(tracker: str = 'siamrpn', variables=None,
+                   checkpoint: Optional[str] = None,
                    rng_seed: int = 0, **cfg_kwargs):
     """Build a single-object tracker (reference ``inference_sot`` stack,
     apis/inference.py:132-175).
 
-    ``tracker``: 'siamrpn' | 'stark' | 'prdimp'. Without ``variables`` the model is
-    randomly initialized (capability/API use; real tracking needs trained
-    weights loaded via the checkpoint utilities)."""
+    ``tracker``: 'siamrpn' | 'stark' | 'prdimp'.  ``checkpoint`` may be a
+    native orbax/msgpack file or a reference torch ``.pth`` (converted on
+    load).  Without either, the model is randomly initialized
+    (capability/API use)."""
     import jax
+
+    converted = None
+    if variables is None and checkpoint is not None:
+        if _is_torch_ckpt(checkpoint):
+            from ..utils import torch_convert as TC
+            converted = TC.convert_zoo_checkpoint(checkpoint, tracker)
+        else:
+            from ..train.checkpoint import load_checkpoint
+            variables = load_checkpoint(checkpoint)
+
+    def with_ckpt(init_vars):
+        if converted is not None:
+            return _merge_converted(converted, init_vars, checkpoint,
+                                    tracker)
+        return init_vars
 
     if tracker == 'siamrpn':
         from ..models.sot import SiamRPNModule, SiamRPNTestCfg, SiamRPNTracker
@@ -112,7 +165,7 @@ def init_sot_model(tracker: str = 'siamrpn', variables=None,
             z = jnp.zeros((1, cfg.exemplar_size, cfg.exemplar_size, 3))
             x = jnp.zeros((1, cfg.search_size, cfg.search_size, 3))
             variables = m.init(jax.random.PRNGKey(rng_seed), z, x)
-        return SiamRPNTracker(variables, cfg)
+        return SiamRPNTracker(with_ckpt(variables), cfg)
     if tracker == 'prdimp':
         from ..models.sot.prdimp import (PrDiMPModule, PrDiMPTestCfg,
                                          PrDiMPTracker)
@@ -124,7 +177,7 @@ def init_sot_model(tracker: str = 'siamrpn', variables=None,
                                jnp.zeros((1, s, s, 3)),
                                jnp.asarray([[s * 0.25, s * 0.25,
                                              s * 0.75, s * 0.75]]))
-        return PrDiMPTracker(variables, cfg)
+        return PrDiMPTracker(with_ckpt(variables), cfg)
     if tracker == 'stark':
         from ..models.sot.stark import StarkModule, StarkTestCfg, StarkTracker
         cfg = StarkTestCfg(**cfg_kwargs)
@@ -136,7 +189,7 @@ def init_sot_model(tracker: str = 'siamrpn', variables=None,
             xm = jnp.zeros((1, cfg.search_size, cfg.search_size))
             variables = m.init(jax.random.PRNGKey(rng_seed),
                                [z, z], [zm, zm], x, xm)
-        return StarkTracker(variables, cfg)
+        return StarkTracker(with_ckpt(variables), cfg)
     raise ValueError(f'unknown SOT tracker {tracker!r}')
 
 
@@ -156,19 +209,37 @@ def inference_sot(model, img: np.ndarray, init_bbox=None, state=None):
 
 
 def init_vid_model(method: str = 'dff', variables=None, cfg=None,
+                   checkpoint: Optional[str] = None,
                    rng_seed: int = 0, img_hw: Tuple[int, int] = (384, 512),
                    **kwargs):
     """Build a streaming video-object-detection model (reference
     ``inference_vid`` stack, apis/inference.py:178-223).
 
-    ``method``: 'dff' | 'fgfa' | 'selsa'. Without ``variables`` the model
-    is randomly initialized (API/capability use)."""
+    ``method``: 'dff' | 'fgfa' | 'selsa'.  ``checkpoint`` may be a native
+    orbax/msgpack file or a reference torch ``.pth`` (converted on load).
+    Without either, the model is randomly initialized (API/capability
+    use)."""
     import jax
 
     from ..models.two_stage import FasterRCNN, TwoStageConfig
     from ..models.vid import DFF, FGFA, SELSA
     from ..models.vid.flownet import FlowNetSimple
     from ..models.vid.vid_models import EmbedAggregator
+
+    converted = None
+    if variables is None and checkpoint is not None:
+        if _is_torch_ckpt(checkpoint):
+            from ..utils import torch_convert as TC
+            converted = TC.convert_zoo_checkpoint(checkpoint, method)
+        else:
+            from ..train.checkpoint import load_checkpoint
+            variables = load_checkpoint(checkpoint)
+
+    def with_ckpt(init_vars):
+        if converted is not None:
+            return _merge_converted(converted, init_vars, checkpoint,
+                                    method)
+        return init_vars
 
     cfg = cfg or TwoStageConfig()
     h, w = img_hw
@@ -177,7 +248,7 @@ def init_vid_model(method: str = 'dff', variables=None, cfg=None,
         if variables is None:
             variables = FasterRCNN(cfg, selsa=True).init(
                 jax.random.PRNGKey(rng_seed), img0)
-        return SELSA(variables, cfg, **kwargs)
+        return SELSA(with_ckpt(variables), cfg, **kwargs)
     if variables is None:
         det = FasterRCNN(cfg)
         dv = det.init(jax.random.PRNGKey(rng_seed), img0)
@@ -193,6 +264,7 @@ def init_vid_model(method: str = 'dff', variables=None, cfg=None,
                 jax.random.PRNGKey(rng_seed + 2),
                 jnp.zeros((1,) + feat.shape[1:]),
                 jnp.zeros((3,) + feat.shape[1:]), jnp.ones((3,), bool))
+    variables = with_ckpt(variables)
     if method == 'dff':
         return DFF(variables, cfg, **kwargs)
     if method == 'fgfa':

@@ -855,3 +855,67 @@ def convert_masktrack_rcnn_state_dict(src: Dict[str, np.ndarray]
             src, 'detector.roi_head.mask_head'),
         'embed_head': convert_roi_embed_head_state_dict(src)}
     return params, {'backbone': bs}
+
+
+# ---------------------------------------------------------------------------
+# Zoo checkpoint dispatcher (reference apis/inference.py:22-97 init_model ->
+# load_checkpoint equivalent for published torch checkpoints)
+# ---------------------------------------------------------------------------
+
+def convert_embed_aggregator_state_dict(src: Dict[str, np.ndarray],
+                                        prefix: str = 'aggregator') -> Dict:
+    """Reference EmbedAggregator (aggregators/embed_aggregator.py:40-52:
+    embed_convs.{i} ConvModules) -> ``models.vid.vid_models
+    .EmbedAggregator`` (embed{i})."""
+    src = _strip(src, prefix)
+    out: Dict[str, Any] = {}
+    i = 0
+    while f'embed_convs.{i}.conv.weight' in src:
+        out[f'embed{i}'] = _plain_conv(src, f'embed_convs.{i}.conv')
+        i += 1
+    return out
+
+
+def convert_zoo_checkpoint(src, model: str) -> Dict:
+    """Convert a reference torch checkpoint (path or raw state dict) for any
+    zoo family into the matching flax variables tree.
+
+    ``model``: 'yolox'|'mot' | 'siamrpn'|'stark'|'prdimp' | 'qdtrack' |
+    'masktrack' | 'reid' | 'faster_rcnn'|'selsa' | 'dff'|'fgfa'."""
+    if isinstance(src, str):
+        src = load_torch_checkpoint(src)
+    src = {k: np.asarray(v) for k, v in src.items()}
+    if model in ('yolox', 'mot'):
+        p, s = convert_yolox_state_dict(src)
+        return {'params': p, 'batch_stats': s}
+    if model == 'siamrpn':
+        p, s = convert_siamrpn_state_dict(src)
+        return {'params': p, 'batch_stats': s}
+    if model == 'stark':
+        p, s = convert_stark_state_dict(src)
+        return {'params': p, 'batch_stats': s}
+    if model == 'prdimp':
+        p, s = convert_prdimp_state_dict(src)
+        return {'params': p, 'batch_stats': s}
+    if model == 'qdtrack':
+        p, s = convert_qdtrack_state_dict(src)
+        return {'params': p, 'batch_stats': s}
+    if model == 'masktrack':
+        p, s = convert_masktrack_rcnn_state_dict(src)
+        return {'params': p, 'batch_stats': s}
+    if model == 'reid':
+        p, s = convert_reid_state_dict(src)
+        return {'params': p, 'batch_stats': s}
+    if model in ('faster_rcnn', 'selsa'):
+        p, s = convert_faster_rcnn_state_dict(src, selsa=(model == 'selsa'))
+        return {'params': p, 'batch_stats': s}
+    if model in ('dff', 'fgfa'):
+        p, s = convert_faster_rcnn_state_dict(src)
+        out = {'detector': {'params': p, 'batch_stats': s},
+               'flownet': {
+                   'params': convert_flownet_state_dict(src, 'motion')}}
+        if model == 'fgfa':
+            out['aggregator'] = {
+                'params': convert_embed_aggregator_state_dict(src)}
+        return out
+    raise ValueError(f'unknown zoo model {model!r}')
