@@ -64,6 +64,13 @@ def build_tracker_config(trk_cfg: Dict[str, Any]) -> TrackerConfig:
 def build_mot_config(model_cfg: Dict[str, Any]) -> MOTConfig:
     kind = _strip(model_cfg.get('type', 'OCSORT_Disparity'))
     assert kind in ('OCSORT_Disparity', 'OCSORT'), kind
+    cmc = None
+    if model_cfg.get('cmc'):
+        # cmc=dict(backend='device'|'opencv', step=..., ransac_thr=..., ...)
+        from ..ops.gmc import GMCConfig
+        cmc_cfg = model_cfg['cmc']
+        cmc = GMCConfig(**cmc_cfg) if isinstance(cmc_cfg, dict) \
+            else GMCConfig()
     return MOTConfig(
         detector=build_detector_config(model_cfg.get('detector', {})),
         tracker=build_tracker_config(model_cfg.get('tracker', {})),
@@ -72,6 +79,7 @@ def build_mot_config(model_cfg: Dict[str, Any]) -> MOTConfig:
         depth_crop=model_cfg.get('depth_crop', 96),
         depth_mode=model_cfg.get('depth_mode', 'corner_guided'),
         reuse_det_depth=model_cfg.get('reuse_det_depth', True),
+        cmc=cmc,
     )
 
 

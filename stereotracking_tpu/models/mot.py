@@ -167,7 +167,7 @@ class OCSORTDisparity:
             partial(predict_frame, module=self.module, cfg=self.cfg),
             static_argnames=('scale_factor',))
         self._cmc_prev = None
-        if cfg.cmc is not None:
+        if cfg.cmc is not None and cfg.cmc.backend != 'opencv':
             self._gray_fn = jax.jit(
                 lambda img: to_small_gray(img, cfg.cmc.size))
 
@@ -190,12 +190,27 @@ class OCSORTDisparity:
         if self.cfg.cmc is not None:
             if frame_id == 0:
                 self._cmc_prev = None
-            curr = self._gray_fn(inputs['img'][0])
-            if self._cmc_prev is not None:
-                h, w = inputs['img'].shape[1:3]
-                warp = self._warp_fn(self._cmc_prev, curr,
-                                     jnp.float32(h), jnp.float32(w),
-                                     jax.random.PRNGKey(int(frame_id)))
+            if self.cfg.cmc.backend == 'opencv':
+                # exact reference chain on the host (ops/gmc_host.py)
+                import numpy as np
+
+                from ..ops.gmc_host import glme_affine_host
+                curr = np.clip(np.asarray(inputs['img'][0]), 0,
+                               255).astype(np.uint8)
+                if self._cmc_prev is not None:
+                    H, _ = glme_affine_host(
+                        self._cmc_prev, curr,
+                        ransac_thr=self.cfg.cmc.ransac_thr,
+                        min_inlier_ratio=self.cfg.cmc.min_inlier_ratio)
+                    if H is not None:
+                        warp = jnp.asarray(H)
+            else:
+                curr = self._gray_fn(inputs['img'][0])
+                if self._cmc_prev is not None:
+                    h, w = inputs['img'].shape[1:3]
+                    warp = self._warp_fn(self._cmc_prev, curr,
+                                         jnp.float32(h), jnp.float32(w),
+                                         jax.random.PRNGKey(int(frame_id)))
             self._cmc_prev = curr
         self.state, result = self._step(
             self.variables, state=self.state, inputs=inputs,

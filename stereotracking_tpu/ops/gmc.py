@@ -33,6 +33,8 @@ class GMCConfig(NamedTuple):
     ransac_iters: int = 128
     ransac_thr: float = 5.0   # reprojection threshold, original pixels
     min_inlier_ratio: float = 0.3
+    backend: str = 'device'   # 'device' (this module) | 'opencv' (exact
+                              # reference chain, ops/gmc_host.py)
 
 
 def to_small_gray(img_bgr: jnp.ndarray, size: int = 256) -> jnp.ndarray:
