@@ -176,3 +176,77 @@ class KittiEvaluator:
                 for k, v in m.items() if np.isscalar(v)}
         out.update(flat)
         return out
+
+
+def load_kitti_label_file(path: str, classes: Sequence[str] =
+                          ('car', 'pedestrian'), is_gt: bool = True,
+                          num_frames: Optional[int] = None) -> Dict[int,
+                                                                    dict]:
+    """Parse a KITTI tracking label/result text file with the reference
+    adapter's exact row handling (kitti_2d_box.py:186-276 _load_raw_file):
+
+    * columns: frame, track_id, type, truncated, occluded, alpha,
+      bbox x1 y1 x2 y2, ... [, score last];
+    * GT keeps the evaluated classes plus their distractors ('van' with
+      'car', 'person' with 'pedestrian'); tracker files keep only the
+      evaluated classes;
+    * GT 'dontcare' rows are routed to per-frame ignore regions;
+    * rows with negative track ids are dropped.
+
+    Returns {frame: dict(ids, classes, dets, truncation, occlusion,
+    dontcare, scores)} with class *ids* per KITTI_CLASS_IDS.
+    """
+    valid = {c.lower() for c in classes}
+    if is_gt:
+        if 'car' in valid:
+            valid.add('van')
+        if 'pedestrian' in valid:
+            valid.add('person')
+
+    raw: Dict[int, dict] = {}
+
+    def frame_slot(t: int) -> dict:
+        return raw.setdefault(t, dict(
+            ids=[], classes=[], dets=[], truncation=[], occlusion=[],
+            dontcare=[], scores=[]))
+
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            t = int(float(parts[0]))
+            name = parts[2].lower()
+            slot = frame_slot(t)
+            if is_gt and name == 'dontcare':
+                slot['dontcare'].append(
+                    [float(v) for v in parts[6:10]])
+                continue
+            if name not in valid:
+                continue
+            tid = int(float(parts[1]))
+            if tid < 0:
+                continue
+            slot['ids'].append(tid)
+            slot['classes'].append(KITTI_CLASS_IDS[name])
+            slot['dets'].append([float(v) for v in parts[6:10]])
+            slot['truncation'].append(int(float(parts[3])))
+            slot['occlusion'].append(int(float(parts[4])))
+            slot['scores'].append(
+                float(parts[17]) if len(parts) > 17 else 1.0)
+
+    frames = range(num_frames) if num_frames is not None \
+        else sorted(raw)
+    out: Dict[int, dict] = {}
+    for t in frames:
+        slot = raw.get(t, dict(ids=[], classes=[], dets=[], truncation=[],
+                               occlusion=[], dontcare=[], scores=[]))
+        out[t] = dict(
+            ids=np.asarray(slot['ids'], int),
+            classes=np.asarray(slot['classes'], int),
+            dets=np.asarray(slot['dets'], float).reshape(-1, 4),
+            truncation=np.asarray(slot['truncation'], int),
+            occlusion=np.asarray(slot['occlusion'], int),
+            dontcare=np.asarray(slot['dontcare'], float).reshape(-1, 4),
+            scores=np.asarray(slot['scores'], float))
+    return out
