@@ -76,6 +76,11 @@ def test_tools_test_runs_and_writes_metrics(disk_dataset, tmp_path):
     # visualization hook: every 2nd frame of each of the 2 videos rendered
     rendered = sorted((tmp_path / 'vis').rglob('*.jpg'))
     assert len(rendered) == 4, rendered
+    # observability backend: per-video + final-metric scalar series
+    lines = [json.loads(ln) for ln in
+             (out / 'scalars.jsonl').read_text().splitlines()]
+    assert any(ln['prefix'] == 'eval' for ln in lines)
+    assert any(ln['prefix'] == 'metrics' and 'MOTA' in ln for ln in lines)
 
 
 def test_tools_train_one_epoch(disk_dataset, tmp_path):
@@ -91,3 +96,8 @@ def test_tools_train_one_epoch(disk_dataset, tmp_path):
     assert (out / 'detector_final.ckpt').exists()
     # loss is finite in the logs
     assert 'loss' in r.stdout
+    # observability backend: loss/lr series written
+    lines = [json.loads(ln) for ln in
+             (out / 'scalars.jsonl').read_text().splitlines()]
+    train = [ln for ln in lines if ln['prefix'] == 'train']
+    assert train and 'loss' in train[0] and 'lr' in train[0]

@@ -94,6 +94,8 @@ def main():
     from stereotracking_tpu.utils.collect_results import ResultsCSV
 
     cfg = apply_overrides(load_config(args.config), args.cfg_options)
+    from stereotracking_tpu.utils.obs import build_logger
+    logger = build_logger(cfg, args.work_dir, rank=rank)
     ds_cfg = dict(cfg['test_dataloader']['dataset'])
     ds_type = ds_cfg.pop('type', 'MOTDispDataset')
     ds_cfg.pop('classes', None)
@@ -218,6 +220,10 @@ def main():
                     os.path.join(vis_dir, f'{local_f:06d}.jpg'))
         print(f'[test] video {vname}: {len(frame_ids)} frames done',
               flush=True)
+        logger.log(n_frames, dict(
+            video_frames=len(frame_ids),
+            fps=n_frames / max(time.perf_counter() - t_start, 1e-9)),
+            prefix='eval')
 
     elapsed = time.perf_counter() - t_start
     if args.aflink:
@@ -251,6 +257,9 @@ def main():
     os.makedirs(args.work_dir, exist_ok=True)
     with open(os.path.join(args.work_dir, 'metrics.json'), 'w') as fjson:
         json.dump({k: float(v) for k, v in results.items()}, fjson, indent=2)
+    logger.log(n_frames, {k: v for k, v in results.items()
+                          if isinstance(v, (int, float))}, prefix='metrics')
+    logger.close()
     for k, v in results.items():
         print(f'{k}: {v:.4f}' if isinstance(v, float) else f'{k}: {v}')
 

@@ -225,6 +225,9 @@ def main():
               flush=True)
         return res
 
+    from stereotracking_tpu.utils.obs import build_logger
+    logger = build_logger(cfg, work_dir, rank=rank)
+
     for epoch in range(start_epoch, max_epochs):
         stage2 = epoch >= max_epochs - num_last
         t0 = time.perf_counter()
@@ -233,6 +236,7 @@ def main():
             batch = make_batch(dataset, idx, scale, args.max_gt, rng, stage2)
             batch = shard_batch(batch, mesh)
             state, losses = step_fns[stage2](state, batch)
+            step = epoch * steps_per_epoch + it
             if it % 50 == 0 and rank == 0:
                 print(f'epoch {epoch} it {it}/{steps_per_epoch} '
                       f'loss {float(losses["loss"]):.4f} '
@@ -240,12 +244,23 @@ def main():
                       f'bbox {float(losses["loss_bbox"]):.3f} '
                       f'obj {float(losses["loss_obj"]):.3f}) '
                       f'pos {int(losses["num_pos"])}', flush=True)
+            logger.log_every(step, dict(
+                loss=losses['loss'], loss_cls=losses['loss_cls'],
+                loss_bbox=losses['loss_bbox'], loss_obj=losses['loss_obj'],
+                num_pos=losses['num_pos'], lr=sched(step), epoch=epoch))
         if rank == 0:
-            print(f'epoch {epoch} done in {time.perf_counter()-t0:.1f}s',
-                  flush=True)
+            dt = time.perf_counter() - t0
+            print(f'epoch {epoch} done in {dt:.1f}s', flush=True)
+            logger.log((epoch + 1) * steps_per_epoch - 1, dict(
+                epoch_time_s=dt,
+                imgs_per_s=steps_per_epoch * batch_size / dt),
+                prefix='speed')
             ckpt.maybe_save(epoch, jax.device_get(state))
             if args.val_interval and (epoch + 1) % args.val_interval == 0:
-                run_validation(state)
+                res = run_validation(state)
+                logger.log((epoch + 1) * steps_per_epoch - 1, dict(
+                    mAP=res['mAP'], mAP_50=res['mAP_50']), prefix='val')
+    logger.close()
 
     if rank == 0:
         final = extract_detector_variables(jax.device_get(state))
