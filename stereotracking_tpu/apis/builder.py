@@ -92,3 +92,23 @@ def build_model(cfg: Dict[str, Any], variables=None,
     return OCSORTDisparity(mot, variables=variables,
                            dtype=dtype or jnp.float32,
                            input_shape=input_shape)
+
+
+def build_motion(motion_cfg):
+    """Motion-model config -> instance (reference TASK_UTILS registry
+    analog): 'CameraMotionCompensation' (ECC), 'LinearMotion',
+    'KalmanFilter' (returns None — the KF is fused into the jitted tracker
+    step rather than built as an object)."""
+    if not motion_cfg:
+        return None
+    cfg = dict(motion_cfg)
+    kind = _strip(cfg.pop('type', 'KalmanFilter'))
+    if kind == 'CameraMotionCompensation':
+        from ..models.motion import CameraMotionCompensation
+        return CameraMotionCompensation(**cfg)
+    if kind == 'LinearMotion':
+        from ..models.motion import LinearMotion
+        return LinearMotion(**cfg)
+    if kind == 'KalmanFilter':
+        return None
+    raise ValueError(f'unknown motion model {kind!r}')

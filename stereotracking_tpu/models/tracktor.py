@@ -234,7 +234,7 @@ class TracktorStreaming:
                  cfg: TracktorConfig = TracktorConfig(),
                  input_shape: Tuple[int, int] = (384, 512),
                  reid_hw: Tuple[int, int] = (256, 128),
-                 num_dets: int = 32, dtype=jnp.float32):
+                 num_dets: int = 32, dtype=jnp.float32, cmc=None):
         from .reid import BaseReID
         from .strongsort import crop_resize_boxes
         from .two_stage import (FasterRCNN, rcnn_predict, rpn_proposals,
@@ -242,6 +242,11 @@ class TracktorStreaming:
 
         self.cfg = cfg
         self.det_cfg = det_cfg
+        # ECC camera-motion compensation applied to the previous frame's
+        # track boxes before RoI regression (reference tracktor.py:49-64 +
+        # tracktor_tracker.py:179-185 with_cmc path)
+        self.cmc = cmc
+        self._last_img = None
         self.module = FasterRCNN(det_cfg, dtype=dtype)
         self.det_variables = det_variables
         self.reid = BaseReID(embed_dim=cfg.embed_dim, num_classes=1)
@@ -286,9 +291,32 @@ class TracktorStreaming:
     def track(self, img, frame_id: int):
         """img (1, H, W, 3) float. Returns dict over the K+N output rows
         (propagated tracks then detections) with ids and validity."""
+        import numpy as np
+
         img = jnp.asarray(img, jnp.float32)
         if frame_id == 0:
             self.reset()
+            self._last_img = None
+        if self.cmc is not None and self._last_img is not None \
+                and bool(jnp.any(self.state.valid)):
+            curr_u8 = np.clip(np.asarray(img[0]), 0, 255).astype(np.uint8)
+            try:
+                warped, _ = self.cmc.compensate(self._last_img, curr_u8,
+                                                self.state.bbox)
+            except Exception:
+                # ECC non-convergence (cv2.error): skip compensation for
+                # this frame, as an unconverged warp is worse than none
+                warped = None
+            if warped is not None:
+                h, w = img.shape[1:3]
+                warped = jnp.clip(warped, 0.0,
+                                  jnp.asarray([w, h, w, h], jnp.float32))
+                self.state = self.state._replace(
+                    bbox=jnp.where(self.state.valid[:, None], warped,
+                                   self.state.bbox))
+        if self.cmc is not None:
+            self._last_img = np.clip(np.asarray(img[0]), 0,
+                                     255).astype(np.uint8)
         feat, (db, ds, dl, dv) = self._detect(self.det_variables, img)
         reg_boxes, reg_scores = self._regress(feat[0], self.state.bbox)
         det_embeds = self._embed(self.reid_variables, img[0], db)
