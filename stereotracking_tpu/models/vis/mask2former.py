@@ -10,12 +10,14 @@ Re-creates the reference stack:
   heads, spatio-temporal mask prediction via einsum over (T, H, W) mask
   features, all-background attention masks reset to attend-everywhere)
 
-TPU-native substitutions (cited):
-* the MSDeformAttn pixel decoder (mmcv CUDA) is replaced by an FPN-style
-  pixel decoder (laterals + top-down, original MaskFormer form) emitting
-  the same interface: stride-4 mask features + 3 coarse memories;
-* the training match/loss costs are computed on down-sampled mask logits
-  instead of mmdet's 12544-point sampling.
+The pixel decoder is the exact MSDeformAttn form (mmdet
+MSDeformAttnPixelDecoder: 6-layer multi-scale deformable-attention encoder
+over strides 8/16/32 + stride-4 lateral, the mmcv CUDA kernel re-derived as
+vectorized bilinear gathers); ``PixelDecoderFPN`` remains available as a
+cheaper option.  Training match costs and mask losses use mmdet's point
+sampling (uniform 12544-point match costs; uncertainty-importance-sampled
+loss points, oversample 3.0 / importance 0.75) — ``point_sample`` /
+``uncertain_point_coords`` below.
 """
 from __future__ import annotations
 
@@ -39,9 +41,165 @@ class Mask2FormerConfig(NamedTuple):
     num_decoder_layers: int = 9
     num_feat_levels: int = 3
     ffn_dim: int = 2048
+    pixel_decoder: str = 'msdeform'   # exact reference form | 'fpn'
+    pixel_decoder_layers: int = 6
+    # training point sampling (mask2former_head.py:151-153)
+    num_points: int = 12544
+    oversample_ratio: float = 3.0
+    importance_sample_ratio: float = 0.75
     # predict
     max_per_video: int = 10
     score_thr: float = 0.0
+
+
+class MSDeformAttn(nn.Module):
+    """Multi-scale deformable attention (mmcv MultiScaleDeformableAttention
+    semantics re-derived for XLA): each query samples ``num_points``
+    bilinear taps per head per level at learned offsets around its
+    reference point and mixes them with a learned softmax weighting.
+
+    ``__call__(query (N, L, C), value (N, L, C), ref (L, 2) normalized
+    (x, y), shapes [(H, W), ...])``; ``L = sum(H*W)``.
+    """
+    dim: int = 256
+    heads: int = 8
+    levels: int = 3
+    points: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, value, ref, shapes):
+        n, l, c = query.shape
+        h, lv, p = self.heads, self.levels, self.points
+        hd = c // h
+        v = nn.Dense(c, dtype=self.dtype, name='value_proj')(value)
+        off = nn.Dense(h * lv * p * 2, dtype=self.dtype,
+                       name='sampling_offsets')(query)
+        off = off.reshape(n, l, h, lv, p, 2)
+        aw = nn.Dense(h * lv * p, dtype=self.dtype,
+                      name='attention_weights')(query)
+        aw = jax.nn.softmax(aw.reshape(n, l, h, lv * p), -1)
+        aw = aw.reshape(n, l, h, lv, p)
+
+        # split value tokens back into per-level maps
+        sizes = [hh * ww for hh, ww in shapes]
+        starts = np.concatenate([[0], np.cumsum(sizes)])
+        out = jnp.zeros((n, l, h, hd), self.dtype)
+        for li, (hh, ww) in enumerate(shapes):
+            vm = v[:, starts[li]:starts[li + 1]].reshape(n, hh, ww, h, hd)
+            # sampling locations normalized -> pixel coords
+            # (align_corners=False grid_sample mapping, zeros padding)
+            loc = ref[None, :, None, None, :] + \
+                off[:, :, :, li] / jnp.asarray([ww, hh], self.dtype)
+            x = loc[..., 0] * ww - 0.5                  # (N, L, h, p)
+            y = loc[..., 1] * hh - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            fx = (x - x0)[..., None]
+            fy = (y - y0)[..., None]
+            acc = 0.0
+            for dy, dx, wgt in ((0, 0, (1 - fy) * (1 - fx)),
+                                (0, 1, (1 - fy) * fx),
+                                (1, 0, fy * (1 - fx)),
+                                (1, 1, fy * fx)):
+                gx = x0 + dx
+                gy = y0 + dy
+                inb = ((gx >= 0) & (gx < ww) & (gy >= 0)
+                       & (gy < hh))[..., None]
+                gxc = jnp.clip(gx, 0, ww - 1).astype(jnp.int32)
+                gyc = jnp.clip(gy, 0, hh - 1).astype(jnp.int32)
+                # gather (N, L, h, p, hd): per-head maps indexed at
+                # (gyc, gxc); head axis aligned via arange
+                hi = jnp.arange(h)[None, None, :, None]
+                tap = vm[jnp.arange(n)[:, None, None, None], gyc, gxc, hi]
+                acc = acc + jnp.where(inb, wgt, 0.0) * tap
+            out = out + (acc * aw[:, :, :, li, :, None]).sum(3)
+        out = out.reshape(n, l, c)
+        return nn.Dense(c, dtype=self.dtype, name='output_proj')(out)
+
+
+class _EncoderLayer(nn.Module):
+    """Deformable encoder layer (post-norm: attn -> LN -> FFN -> LN)."""
+    dim: int = 256
+    heads: int = 8
+    levels: int = 3
+    points: int = 4
+    ffn: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos, ref, shapes):
+        a = MSDeformAttn(self.dim, self.heads, self.levels, self.points,
+                         dtype=self.dtype, name='attn')(x + pos, x, ref,
+                                                        shapes)
+        x = nn.LayerNorm(dtype=self.dtype, name='norm1')(x + a)
+        f = nn.Dense(self.ffn, dtype=self.dtype, name='ffn1')(x)
+        f = nn.Dense(self.dim, dtype=self.dtype, name='ffn2')(nn.relu(f))
+        return nn.LayerNorm(dtype=self.dtype, name='norm2')(x + f)
+
+
+class MSDeformAttnPixelDecoder(nn.Module):
+    """Exact-form pixel decoder (mmdet MSDeformAttnPixelDecoder): 1x1+GN
+    input projections of strides 32/16/8, a 6-layer deformable-attention
+    encoder over the concatenated tokens, then a stride-4 lateral +
+    top-down step; returns (mask_features stride 4,
+    [memory stride 32, 16, 8])."""
+    dim: int = 256
+    num_layers: int = 6
+    ffn: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        # feats: stride 4, 8, 16, 32 — encoder levels are 32, 16, 8
+        enc_feats = [feats[3], feats[2], feats[1]]
+        n = feats[0].shape[0]
+        level_embed = self.param('level_embed',
+                                 nn.initializers.normal(1.0),
+                                 (3, self.dim))
+        tokens, poss, shapes, refs = [], [], [], []
+        for i, f in enumerate(enc_feats):
+            x = nn.Conv(self.dim, (1, 1), dtype=self.dtype,
+                        name=f'input_conv{i}')(f)
+            x = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                             name=f'input_gn{i}')(x)
+            hh, ww = x.shape[1], x.shape[2]
+            pos = sine_positional_encoding(jnp.zeros((n, hh, ww)),
+                                           self.dim // 2)
+            tokens.append(x.reshape(n, hh * ww, self.dim))
+            poss.append(pos.reshape(n, hh * ww, self.dim)
+                        + level_embed[i])
+            shapes.append((hh, ww))
+            ys, xs = jnp.meshgrid(
+                (jnp.arange(hh, dtype=self.dtype) + 0.5) / hh,
+                (jnp.arange(ww, dtype=self.dtype) + 0.5) / ww,
+                indexing='ij')
+            refs.append(jnp.stack([xs.reshape(-1), ys.reshape(-1)], -1))
+        x = jnp.concatenate(tokens, axis=1)
+        pos = jnp.concatenate(poss, axis=1)
+        ref = jnp.concatenate(refs, axis=0)              # (L, 2) (x, y)
+        for i in range(self.num_layers):
+            x = _EncoderLayer(self.dim, 8, 3, 4, self.ffn,
+                              dtype=self.dtype,
+                              name=f'layer{i}')(x, pos, ref, shapes)
+        sizes = [hh * ww for hh, ww in shapes]
+        starts = np.concatenate([[0], np.cumsum(sizes)])
+        memories = [x[:, starts[i]:starts[i + 1]].reshape(
+            n, shapes[i][0], shapes[i][1], self.dim) for i in range(3)]
+
+        # stride-4 lateral + top-down from the stride-8 encoder output
+        lat = nn.Conv(self.dim, (1, 1), dtype=self.dtype,
+                      name='lateral4')(feats[0])
+        lat = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                           name='lateral4_gn')(lat)
+        up = jax.image.resize(memories[2], lat.shape, 'bilinear')
+        y = nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype,
+                    name='output4')(lat + up)
+        y = nn.relu(nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                                 name='output4_gn')(y))
+        mask_features = nn.Conv(self.dim, (3, 3), padding=1,
+                                dtype=self.dtype, name='mask_feat')(y)
+        return mask_features, memories
 
 
 class PixelDecoderFPN(nn.Module):
@@ -108,7 +266,13 @@ class Mask2FormerVIS(nn.Module):
     def setup(self):
         c = self.cfg
         self.backbone = ResNet(out_indices=(0, 1, 2, 3), dtype=self.dtype)
-        self.pixel_decoder = PixelDecoderFPN(c.embed_dim, dtype=self.dtype)
+        if c.pixel_decoder == 'msdeform':
+            self.pixel_decoder = MSDeformAttnPixelDecoder(
+                c.embed_dim, num_layers=c.pixel_decoder_layers,
+                dtype=self.dtype)
+        else:
+            self.pixel_decoder = PixelDecoderFPN(c.embed_dim,
+                                                 dtype=self.dtype)
         self.decoder_input_projs = [
             nn.Conv(c.embed_dim, (1, 1), dtype=self.dtype,
                     name=f'input_proj{i}')
@@ -207,6 +371,50 @@ def mask2former_predict(cls_pred: jnp.ndarray, mask_pred: jnp.ndarray,
                 instances_id=q_idx)
 
 
+def point_sample(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """mmcv ``point_sample`` (grid_sample, align_corners=False, zeros
+    padding): masks (..., H, W), coords (P, 2) normalized (x, y) ->
+    (..., P)."""
+    hh, ww = masks.shape[-2], masks.shape[-1]
+    x = coords[:, 0] * ww - 0.5
+    y = coords[:, 1] * hh - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx, fy = x - x0, y - y0
+    flat = masks.reshape(-1, hh, ww)
+    acc = 0.0
+    for dy, dx, w in ((0, 0, (1 - fy) * (1 - fx)), (0, 1, (1 - fy) * fx),
+                      (1, 0, fy * (1 - fx)), (1, 1, fy * fx)):
+        gx = x0 + dx
+        gy = y0 + dy
+        inb = (gx >= 0) & (gx < ww) & (gy >= 0) & (gy < hh)
+        gxc = jnp.clip(gx, 0, ww - 1).astype(jnp.int32)
+        gyc = jnp.clip(gy, 0, hh - 1).astype(jnp.int32)
+        acc = acc + jnp.where(inb, w, 0.0)[None] * flat[:, gyc, gxc]
+    return acc.reshape(*masks.shape[:-2], coords.shape[0])
+
+
+def uncertain_point_coords(logits: jnp.ndarray, key, num_points: int,
+                           oversample_ratio: float = 3.0,
+                           importance_sample_ratio: float = 0.75
+                           ) -> jnp.ndarray:
+    """mmdet ``get_uncertain_point_coords_with_randomness``: per mask,
+    sample ``oversample * P`` uniform points, keep the
+    ``importance_ratio * P`` most uncertain (uncertainty = -|logit|), and
+    top up with fresh uniform points.  logits (M, H, W) -> (M, P, 2)."""
+    m = logits.shape[0]
+    n_samp = int(num_points * oversample_ratio)
+    n_unc = int(num_points * importance_sample_ratio)
+    n_rand = num_points - n_unc
+    k1, k2 = jax.random.split(key)
+    cand = jax.random.uniform(k1, (m, n_samp, 2))
+    vals = jax.vmap(point_sample)(logits, cand)          # (M, n_samp)
+    _, idx = jax.lax.top_k(-jnp.abs(vals), n_unc)
+    picked = jnp.take_along_axis(cand, idx[..., None], axis=1)
+    rand = jax.random.uniform(k2, (m, n_rand, 2))
+    return jnp.concatenate([picked, rand], axis=1)
+
+
 def _dice_cost(pred: jnp.ndarray, gt: jnp.ndarray, eps=1.0) -> jnp.ndarray:
     """pred (Q, P) sigmoid probs flattened; gt (G, P) binary ->
     (Q, G) dice cost."""
@@ -217,30 +425,41 @@ def _dice_cost(pred: jnp.ndarray, gt: jnp.ndarray, eps=1.0) -> jnp.ndarray:
 
 def mask2former_loss(cls_list, mask_list, gt_labels: jnp.ndarray,
                      gt_masks: jnp.ndarray, gt_valid: jnp.ndarray,
-                     cfg: Mask2FormerConfig,
+                     cfg: Mask2FormerConfig, key=None,
                      cls_weight: float = 2.0, mask_weight: float = 5.0,
                      dice_weight: float = 5.0) -> dict:
-    """Hungarian-matched per-layer loss (mask2former_head.py:250-424):
-    CE classification (background weight 0.1 via the matched/unmatched
-    split), sigmoid-BCE + dice on matched masks. ``gt_masks``
-    (G, T, H, W) binary at mask-feature resolution; costs computed on
-    the dense (downsampled) masks — cited deviation from point
-    sampling."""
+    """Hungarian-matched per-layer loss (mask2former_head.py:250-424) with
+    mmdet's point sampling: match costs on ``cfg.num_points`` uniform
+    random points shared across queries/GTs (head:287-304), mask/dice
+    losses on per-(query, frame) uncertainty-importance-sampled points
+    (head:395-420 get_uncertain_point_coords_with_randomness).  CE
+    classification uses background class weight 0.1.  ``gt_masks``
+    (G, T, H, W) binary at mask-feature resolution."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
     total = {}
     g = gt_labels.shape[0]
+    eps = 1e-6
     for li, (cls_pred, mask_pred) in enumerate(zip(cls_list, mask_list)):
-        q = cls_pred.shape[0]
+        key, k_match, k_unc = jax.random.split(key, 3)
+        q, t = mask_pred.shape[0], mask_pred.shape[1]
         probs = jax.nn.softmax(cls_pred, -1)
         cost_cls = -probs[:, gt_labels] * cls_weight          # (Q, G)
-        mp = jax.nn.sigmoid(mask_pred.reshape(q, -1))
-        gm = gt_masks.reshape(g, -1).astype(jnp.float32)
-        # BCE cost (mean over points)
-        eps = 1e-6
-        bce = -(jnp.einsum('qp,gp->qg', jnp.log(mp + eps), gm)
-                + jnp.einsum('qp,gp->qg', jnp.log(1 - mp + eps), 1 - gm)) \
-            / mp.shape[1]
+
+        # ---- match costs on shared uniform points (head:287-304) ----
+        pts = jax.random.uniform(k_match, (cfg.num_points, 2))
+        mp_l = point_sample(mask_pred, pts).reshape(q, -1)    # logits
+        gm_p = point_sample(gt_masks.astype(jnp.float32),
+                            pts).reshape(g, -1)
+        # CrossEntropyLossCost(use_sigmoid): per-point BCE-with-logits,
+        # averaged over the sampled points
+        pos = jax.nn.softplus(-mp_l)                         # BCE vs 1
+        neg = jax.nn.softplus(mp_l)                          # BCE vs 0
+        bce = (jnp.einsum('qp,gp->qg', pos, gm_p)
+               + jnp.einsum('qp,gp->qg', neg, 1 - gm_p)) / mp_l.shape[1]
+        mp_s = jax.nn.sigmoid(mp_l)
         cost = cost_cls + mask_weight * bce \
-            + dice_weight * _dice_cost(mp, gm)
+            + dice_weight * _dice_cost(mp_s, gm_p)
         cost = jnp.where(gt_valid[None, :], cost, 1e6)
         row, _ = linear_assignment_with_limit(
             cost, jnp.ones(q, bool), gt_valid, 1e6 / 2)
@@ -253,14 +472,31 @@ def mask2former_loss(cls_list, mask_list, gt_labels: jnp.ndarray,
         w = jnp.where(matched, 1.0, 0.1)      # background class weight
         loss_cls = -(picked * w).sum() / w.sum() * cls_weight
 
+        # ---- mask losses on uncertainty-sampled points (head:395-420):
+        # coords per (query, frame) from the prediction's own logits ----
         n_pos = jnp.maximum(matched.sum(), 1)
-        tm = gm[tgt_idx]
-        bce_m = -(tm * jnp.log(mp + eps)
-                  + (1 - tm) * jnp.log(1 - mp + eps)).mean(-1)
-        loss_mask = (bce_m * matched).sum() / n_pos * mask_weight
-        dice = jnp.take_along_axis(_dice_cost(mp, gm), tgt_idx[:, None],
-                                   1)[:, 0]
-        loss_dice = (dice * matched).sum() / n_pos * dice_weight
+        flat_logits = mask_pred.reshape(q * t, *mask_pred.shape[2:])
+        coords = uncertain_point_coords(
+            jax.lax.stop_gradient(flat_logits), k_unc, cfg.num_points,
+            cfg.oversample_ratio, cfg.importance_sample_ratio)
+        pred_pts = jax.vmap(point_sample)(flat_logits, coords)
+        tgt_masks = gt_masks[tgt_idx].reshape(q * t, *gt_masks.shape[2:])
+        tgt_pts = jax.vmap(point_sample)(tgt_masks.astype(jnp.float32),
+                                         coords)
+        pred_pts = pred_pts.reshape(q, t, -1)
+        tgt_pts = tgt_pts.reshape(q, t, -1)
+        bce_pt = tgt_pts * jax.nn.softplus(-pred_pts) \
+            + (1 - tgt_pts) * jax.nn.softplus(pred_pts)
+        # avg_factor = num_total_masks * num_points (head:417-420)
+        loss_mask = (bce_pt.sum(-1).sum(-1) * matched).sum() \
+            / (n_pos * cfg.num_points) * mask_weight
+        sp = jax.nn.sigmoid(pred_pts)
+        num = 2 * (sp * tgt_pts).sum(-1)
+        den = sp.sum(-1) + tgt_pts.sum(-1)
+        dice = 1 - (num + 1.0) / (den + 1.0)                 # (Q, T)
+        # avg_factor = num_total_masks, each frame an instance (head:412)
+        loss_dice = (dice.sum(-1) * matched).sum() / n_pos * dice_weight
+
         suffix = '' if li == len(cls_list) - 1 else f'.d{li}'
         total[f'loss_cls{suffix}'] = loss_cls
         total[f'loss_mask{suffix}'] = loss_mask

@@ -90,3 +90,105 @@ def test_module_forward_shapes():
     assert len(cls_list) == CFG.num_decoder_layers + 1
     assert cls_list[-1].shape == (CFG.num_queries, CFG.num_classes + 1)
     assert mask_list[-1].shape == (CFG.num_queries, 2, 16, 24)
+
+
+def test_point_sample_matches_torch_grid_sample():
+    """mmcv point_sample == grid_sample(2*coords-1, align_corners=False)."""
+    import torch
+
+    from stereotracking_tpu.models.vis.mask2former import point_sample
+
+    rng = np.random.RandomState(3)
+    masks = rng.randn(3, 2, 9, 13).astype(np.float32)   # (Q, T, H, W)
+    pts = rng.rand(40, 2).astype(np.float32)
+
+    out = point_sample(jnp.asarray(masks), jnp.asarray(pts))
+
+    t_in = torch.from_numpy(masks)
+    grid = torch.from_numpy(pts)[None, :, None, :] * 2 - 1  # (1, P, 1, 2)
+    ref = torch.nn.functional.grid_sample(
+        t_in, grid.expand(3, -1, -1, -1), mode='bilinear',
+        padding_mode='zeros', align_corners=False)[..., 0]   # (Q, T, P)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_uncertain_point_coords_properties():
+    from stereotracking_tpu.models.vis.mask2former import (
+        point_sample, uncertain_point_coords)
+
+    rng = np.random.RandomState(4)
+    logits = jnp.asarray(rng.randn(5, 12, 16) * 4, jnp.float32)
+    pts = uncertain_point_coords(logits, jax.random.PRNGKey(0), 64,
+                                 oversample_ratio=3.0,
+                                 importance_sample_ratio=0.75)
+    assert pts.shape == (5, 64, 2)
+    assert (np.asarray(pts) >= 0).all() and (np.asarray(pts) <= 1).all()
+    # the importance-sampled 75% must be more uncertain (|logit| smaller)
+    # than random points on average
+    vals = jax.vmap(point_sample)(logits, pts)
+    unc = np.abs(np.asarray(vals[:, :48]))
+    rnd = np.abs(np.asarray(vals[:, 48:]))
+    assert unc.mean() < rnd.mean()
+
+
+def test_msdeform_attn_matches_torch_reference():
+    """MSDeformAttn == the standard pure-torch evaluation of multi-scale
+    deformable attention (grid_sample per level, softmax-weighted sum)."""
+    import torch
+
+    from stereotracking_tpu.models.vis.mask2former import MSDeformAttn
+
+    dim, heads, levels, points = 32, 4, 3, 4
+    shapes = [(4, 6), (8, 12), (16, 24)]
+    L = sum(h * w for h, w in shapes)
+    rng = np.random.RandomState(5)
+    query = rng.randn(2, L, dim).astype(np.float32)
+    value = rng.randn(2, L, dim).astype(np.float32)
+    refs = []
+    for h, w in shapes:
+        ys, xs = np.meshgrid((np.arange(h) + 0.5) / h,
+                             (np.arange(w) + 0.5) / w, indexing='ij')
+        refs.append(np.stack([xs.ravel(), ys.ravel()], -1))
+    ref_pts = np.concatenate(refs, 0).astype(np.float32)
+
+    mod = MSDeformAttn(dim, heads, levels, points)
+    params = mod.init(jax.random.PRNGKey(1), jnp.asarray(query),
+                      jnp.asarray(value), jnp.asarray(ref_pts), shapes)
+    out = mod.apply(params, jnp.asarray(query), jnp.asarray(value),
+                    jnp.asarray(ref_pts), shapes)
+
+    # independent torch evaluation with the same (converted) weights
+    p = params['params']
+
+    def lin(x, name):
+        w = torch.from_numpy(np.asarray(p[name]['kernel']))
+        b = torch.from_numpy(np.asarray(p[name]['bias']))
+        return x @ w + b
+
+    tq = torch.from_numpy(query)
+    tv = lin(torch.from_numpy(value), 'value_proj')
+    off = lin(tq, 'sampling_offsets').reshape(2, L, heads, levels,
+                                              points, 2)
+    aw = lin(tq, 'attention_weights').reshape(2, L, heads,
+                                              levels * points)
+    aw = torch.softmax(aw, -1).reshape(2, L, heads, levels, points)
+    hd = dim // heads
+    starts = np.concatenate([[0], np.cumsum([h * w for h, w in shapes])])
+    acc = torch.zeros(2, L, heads, hd)
+    for li, (h, w) in enumerate(shapes):
+        vm = tv[:, starts[li]:starts[li + 1]].reshape(2, h, w, heads, hd)
+        vm = vm.permute(0, 3, 4, 1, 2).reshape(2 * heads, hd, h, w)
+        loc = torch.from_numpy(ref_pts)[None, :, None, None, :] + \
+            off[:, :, :, li] / torch.tensor([w, h], dtype=torch.float32)
+        grid = loc * 2 - 1                       # (2, L, heads, points, 2)
+        grid = grid.permute(0, 2, 1, 3, 4).reshape(2 * heads, L, points, 2)
+        samp = torch.nn.functional.grid_sample(
+            vm, grid, mode='bilinear', padding_mode='zeros',
+            align_corners=False)                 # (2*heads, hd, L, points)
+        samp = samp.reshape(2, heads, hd, L, points).permute(0, 3, 1, 4, 2)
+        acc = acc + (samp * aw[:, :, :, li, :, None]).sum(3)
+    t_out = lin(acc.reshape(2, L, dim), 'output_proj')
+
+    np.testing.assert_allclose(np.asarray(out), t_out.numpy(),
+                               rtol=2e-4, atol=2e-4)

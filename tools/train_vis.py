@@ -74,12 +74,13 @@ def main():
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, rest, opt_state, imgs, gt_labels, gt_masks, gt_valid):
+    def step(params, rest, opt_state, imgs, gt_labels, gt_masks, gt_valid,
+             key):
         def loss_fn(p):
             (cls_list, mask_list), updates = model.apply(
                 {'params': p, **rest}, imgs, mutable=['batch_stats'])
             d = mask2former_loss(cls_list, mask_list, gt_labels, gt_masks,
-                                 gt_valid, cfg)
+                                 gt_valid, cfg, key=key)
             return sum(d.values()), (d, updates)
 
         (total, (d, updates)), grads = jax.value_and_grad(
@@ -136,7 +137,8 @@ def main():
         for it in range(args.steps_per_epoch):
             imgs, labels, masks, valid = load_clip()
             params, rest, opt_state, total, d = step(
-                params, rest, opt_state, imgs, labels, masks, valid)
+                params, rest, opt_state, imgs, labels, masks, valid,
+                jax.random.PRNGKey(gstep))
             gstep += 1
             if it % 50 == 0:
                 print(f'[epoch {epoch} it {it}] total={float(total):.4f} '
