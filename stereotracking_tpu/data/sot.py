@@ -504,6 +504,80 @@ class VOTDataset(SOTVideoDataset):
         return info
 
 
+class SOTCocoDataset:
+    """COCO instances as single-frame SOT "videos" for crop-pair training
+    (sot_coco_dataset.py:25-98: every non-crowd annotation is one video of
+    length 1). Emits the same ``video_info`` contract as
+    :class:`SOTVideoDataset` so the Pair/Trident/DiMP samplers and
+    :class:`RandomSampleConcatDataset` mixing work unchanged."""
+
+    def __init__(self, ann_file: str, img_prefix: str = '',
+                 bbox_min_size: float = 0.0):
+        from .coco_video import CocoVideo
+        self.coco = CocoVideo(ann_file)
+        self.img_prefix = img_prefix
+        self.bbox_min_size = bbox_min_size
+        self.ann_ids = [a_id for a_id, a in sorted(self.coco.anns.items())
+                        if a.get('iscrowd', 0) == 0]
+
+    def __len__(self):
+        return len(self.ann_ids)
+
+    def video_info(self, idx: int) -> dict:
+        ann = self.coco.anns[self.ann_ids[idx]]
+        img = self.coco.imgs[ann['image_id']]
+        x, y, w, h = ann['bbox']
+        xyxy = np.asarray([[x, y, x + w, y + h]], np.float32)
+        valid = np.asarray([w > self.bbox_min_size
+                            and h > self.bbox_min_size])
+        return dict(video_id=idx, video_length=1,
+                    img_paths=[osp.join(self.img_prefix,
+                                        img['file_name'])],
+                    frame_ids=[0], bboxes=xyxy, bboxes_isvalid=valid,
+                    visible=valid.copy())
+
+
+class SOTImageNetVIDDataset:
+    """ImageNet-VID instances as SOT videos
+    (sot_imagenet_vid_dataset.py:25-160: one video per ``instance_id``;
+    frame ids come from the images' ``frame_id`` — NOT necessarily
+    contiguous — and visibility is ``not ann['occluded']``)."""
+
+    def __init__(self, ann_file: str, img_prefix: str = '',
+                 bbox_min_size: float = 0.0):
+        from .coco_video import CocoVideo
+        self.coco = CocoVideo(ann_file)
+        self.img_prefix = img_prefix
+        self.bbox_min_size = bbox_min_size
+        self.ins_ids = self.coco.get_ins_ids()
+
+    def __len__(self):
+        return len(self.ins_ids)
+
+    def video_info(self, idx: int) -> dict:
+        ins_id = self.ins_ids[idx]
+        img_ids = self.coco.ins_to_imgs[ins_id]
+        paths, frame_ids, bboxes, visible = [], [], [], []
+        for img_id in img_ids:
+            for ann in self.coco.load_anns(img_id):
+                if ann.get('instance_id') == ins_id:
+                    img = self.coco.imgs[img_id]
+                    paths.append(osp.join(self.img_prefix,
+                                          img['file_name']))
+                    frame_ids.append(img.get('frame_id', 0))
+                    bboxes.append(ann['bbox'])
+                    visible.append(not ann.get('occluded', False))
+        bboxes = np.asarray(bboxes, np.float32).reshape(-1, 4)
+        valid = (bboxes[:, 2] > self.bbox_min_size) \
+            & (bboxes[:, 3] > self.bbox_min_size)
+        xyxy = np.concatenate([bboxes[:, :2],
+                               bboxes[:, :2] + bboxes[:, 2:]], 1)
+        return dict(video_id=idx, video_length=len(paths),
+                    img_paths=paths, frame_ids=frame_ids, bboxes=xyxy,
+                    bboxes_isvalid=valid,
+                    visible=np.asarray(visible, bool) & valid)
+
+
 def siamrpn_unfreeze_prefixes(epoch: int, unfreeze_epoch: int = 10,
                               backbone_stages: int = 4):
     """SiamRPN backbone unfreeze schedule

@@ -293,12 +293,18 @@ class QDTrackModule(nn.Module):
     (/root/reference/mmtrack/models/mot/qdtrack.py)."""
     num_classes: int = 1
     embed_gn: bool = False
+    # tiny-config backbone knobs (default = canonical r50)
+    stage_blocks: Tuple[int, ...] = None
+    base_width: int = 64
     dtype: Any = jnp.float32
 
     def setup(self):
         from .resnet import ResNet
         from .two_stage import FPN, BBoxHead, RPNHead
-        self.backbone = ResNet(out_indices=(0, 1, 2, 3), dtype=self.dtype)
+        self.backbone = ResNet(out_indices=(0, 1, 2, 3),
+                               stage_blocks=self.stage_blocks,
+                               base_width=self.base_width,
+                               dtype=self.dtype)
         self.neck = FPN(dtype=self.dtype)
         self.rpn_head = RPNHead(3, feat_channels=256, dtype=self.dtype)
         self.bbox_head = BBoxHead(self.num_classes, dtype=self.dtype)
@@ -348,12 +354,13 @@ class QDTrackStreaming:
     association (qdtrack.py predict path)."""
 
     def __init__(self, variables, num_classes: int = 1,
-                 cfg: QDTrackConfig = QDTrackConfig(), dtype=jnp.float32):
+                 cfg: QDTrackConfig = QDTrackConfig(), dtype=jnp.float32,
+                 module=None):
         from .two_stage import TwoStageConfig
         self.cfg = cfg
         self.det_cfg = TwoStageConfig(num_classes=num_classes,
                                       anchor_scales=(8,))
-        self.module = QDTrackModule(num_classes, dtype=dtype)
+        self.module = module or QDTrackModule(num_classes, dtype=dtype)
         self.variables = variables
         self._detect = jax.jit(self._detect_impl,
                                static_argnames=('img_shape',))

@@ -80,20 +80,25 @@ class ResNet(nn.Module):
     dilations: Tuple[int, ...] = (1, 1, 1, 1)
     out_indices: Sequence[int] = (3,)
     norm_eval: bool = True
+    # tiny-config knobs (test-gate variants; None = canonical r50)
+    stage_blocks: Tuple[int, ...] = None
+    base_width: int = 64
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.depth == 50, 'Only r50 is implemented.'
         bn_train = train and not self.norm_eval
-        x = _ConvBN(64, 7, stride=2, padding=3, dtype=self.dtype,
-                    name='conv1')(x, bn_train)
+        blocks_per_stage = self.stage_blocks or RESNET50_BLOCKS
+        widths = tuple(p * self.base_width // 64 for p in STAGE_PLANES)
+        x = _ConvBN(self.base_width, 7, stride=2, padding=3,
+                    dtype=self.dtype, name='conv1')(x, bn_train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         outs = []
         for si, (planes, blocks) in enumerate(
-                zip(STAGE_PLANES[:self.num_stages],
-                    RESNET50_BLOCKS[:self.num_stages])):
+                zip(widths[:self.num_stages],
+                    blocks_per_stage[:self.num_stages])):
             stride, dilation = self.strides[si], self.dilations[si]
             in_ch = x.shape[-1]
             for bi in range(blocks):

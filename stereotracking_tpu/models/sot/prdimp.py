@@ -377,10 +377,16 @@ class IoUNetModule(nn.Module):
 class PrDiMPModule(nn.Module):
     """Backbone (layer2+layer3) + classifier pieces + IoUNet."""
     cfg: PrDiMPTestCfg = PrDiMPTestCfg()
+    # tiny-config backbone knobs (default = canonical r50)
+    stage_blocks: Tuple[int, ...] = None
+    base_width: int = 64
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(out_indices=(1, 2), dtype=self.dtype)
+        self.backbone = ResNet(out_indices=(1, 2),
+                               stage_blocks=self.stage_blocks,
+                               base_width=self.base_width,
+                               dtype=self.dtype)
         self.classifier = PrDiMPClsModule(cfg=self.cfg, dtype=self.dtype)
         self.iounet = IoUNetModule(dtype=self.dtype)
 
@@ -542,9 +548,10 @@ class PrDiMPTracker:
     on the returned state exactly like the reference."""
 
     def __init__(self, variables, cfg: PrDiMPTestCfg = PrDiMPTestCfg(),
-                 dtype=jnp.float32):
+                 dtype=jnp.float32,
+                 module: Optional['PrDiMPModule'] = None):
         self.cfg = cfg
-        self.module = PrDiMPModule(cfg, dtype=dtype)
+        self.module = module or PrDiMPModule(cfg, dtype=dtype)
         self.variables = variables
         self._track = jax.jit(self._track_impl)
         self._update = {

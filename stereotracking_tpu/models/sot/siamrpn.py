@@ -282,10 +282,15 @@ class SiamRPNModule(nn.Module):
     sub-computation so a single parameter tree serves template/search/head
     passes (siamrpn.py:65-100 forward_template/forward_search)."""
     center_size: int = 7
+    # tiny-config backbone knobs (default = canonical SOT r50)
+    stage_blocks: Tuple[int, ...] = None
+    base_width: int = 64
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = SOTResNet(dtype=self.dtype)
+        self.backbone = SOTResNet(stage_blocks=self.stage_blocks,
+                                  base_width=self.base_width,
+                                  dtype=self.dtype)
         self.neck = ChannelMapperNeck(dtype=self.dtype)
         self.head = SiameseRPNHead(dtype=self.dtype)
 
@@ -330,9 +335,10 @@ class SiamRPNTracker:
     """
 
     def __init__(self, variables, cfg: SiamRPNTestCfg = SiamRPNTestCfg(),
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, module: 'SiamRPNModule' = None):
         self.cfg = cfg
-        self.module = SiamRPNModule(center_size=cfg.center_size, dtype=dtype)
+        self.module = module or SiamRPNModule(center_size=cfg.center_size,
+                                              dtype=dtype)
         self.variables = variables
         # head output size: backbone(search) -> VALID 3x3 conv; template
         # center crop -> VALID 3x3 conv; VALID xcorr. For the canonical

@@ -324,6 +324,10 @@ class StarkHead(nn.Module):
 class StarkModule(nn.Module):
     """backbone(stage-3) -> 1x1 input projection -> StarkHead."""
     cfg: StarkTestCfg = StarkTestCfg()
+    # tiny-config knobs (default = canonical r50 + 6-layer transformer)
+    stage_blocks: Tuple[int, ...] = None
+    base_width: int = 64
+    head_layers: int = 6
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -331,12 +335,15 @@ class StarkModule(nn.Module):
         # (no layer4 in the checkpoints)
         self.backbone = ResNet(num_stages=3, strides=(1, 2, 2),
                                dilations=(1, 1, 1), out_indices=(2,),
+                               stage_blocks=self.stage_blocks,
+                               base_width=self.base_width,
                                dtype=self.dtype)
         self.input_proj = nn.Conv(256, (1, 1), dtype=self.dtype,
                                   name='input_proj')
         s = self.cfg
         self.head = StarkHead(z_feat_size=s.template_size // 16,
                               x_feat_size=s.search_size // 16,
+                              num_layers=self.head_layers,
                               dtype=self.dtype)
 
     def extract_feat(self, img, train: bool = False):
@@ -365,9 +372,9 @@ class StarkTracker:
     (stark.py:178-253)."""
 
     def __init__(self, variables, cfg: StarkTestCfg = StarkTestCfg(),
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, module: Optional[StarkModule] = None):
         self.cfg = cfg
-        self.module = StarkModule(cfg, dtype=dtype)
+        self.module = module or StarkModule(cfg, dtype=dtype)
         self.variables = variables
         self._init = jax.jit(self._init_impl)
         self._track = jax.jit(self._track_impl)

@@ -41,6 +41,9 @@ class TwoStageConfig(NamedTuple):
     rcnn_nms_iou: float = 0.5
     rcnn_max_per_img: int = 100
     target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+    # tiny-config backbone knobs (None/64 = canonical r50)
+    stage_blocks: Optional[Tuple[int, ...]] = None
+    base_width: int = 64
 
 
 def standard_anchors(feat_h: int, feat_w: int, stride: int,
@@ -254,7 +257,10 @@ class FasterRCNN(nn.Module):
 
     def setup(self):
         self.backbone = ResNet(strides=(1, 2, 2, 1), dilations=(1, 1, 1, 2),
-                               out_indices=(3,), dtype=self.dtype)
+                               out_indices=(3,),
+                               stage_blocks=self.cfg.stage_blocks,
+                               base_width=self.cfg.base_width,
+                               dtype=self.dtype)
         a = len(self.cfg.anchor_scales) * len(self.cfg.anchor_ratios)
         self.rpn_head = RPNHead(a, dtype=self.dtype)
         if self.selsa:

@@ -50,6 +50,9 @@ class Mask2FormerConfig(NamedTuple):
     # predict
     max_per_video: int = 10
     score_thr: float = 0.0
+    # tiny-config backbone knobs (None/64 = canonical r50)
+    stage_blocks: Tuple[int, ...] = None
+    base_width: int = 64
 
 
 class MSDeformAttn(nn.Module):
@@ -265,7 +268,9 @@ class Mask2FormerVIS(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.backbone = ResNet(out_indices=(0, 1, 2, 3), dtype=self.dtype)
+        self.backbone = ResNet(out_indices=(0, 1, 2, 3),
+                               stage_blocks=c.stage_blocks,
+                               base_width=c.base_width, dtype=self.dtype)
         if c.pixel_decoder == 'msdeform':
             self.pixel_decoder = MSDeformAttnPixelDecoder(
                 c.embed_dim, num_layers=c.pixel_decoder_layers,

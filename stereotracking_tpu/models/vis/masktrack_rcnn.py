@@ -80,7 +80,10 @@ class MaskTrackRCNNModule(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(out_indices=(0, 1, 2, 3), dtype=self.dtype)
+        self.backbone = ResNet(out_indices=(0, 1, 2, 3),
+                               stage_blocks=self.cfg.stage_blocks,
+                               base_width=self.cfg.base_width,
+                               dtype=self.dtype)
         self.neck = FPN(dtype=self.dtype)
         self.rpn_head = RPNHead(len(self.cfg.anchor_ratios) *
                                 len(self.cfg.anchor_scales),
@@ -228,9 +231,9 @@ class MaskTrackRCNNStreaming:
 
     def __init__(self, variables, cfg: TwoStageConfig = TwoStageConfig(
             num_classes=40, anchor_scales=(8,), stride=4),
-            num_slots: int = 64, dtype=jnp.float32):
+            num_slots: int = 64, dtype=jnp.float32, module=None):
         self.cfg = cfg
-        self.module = MaskTrackRCNNModule(cfg, dtype=dtype)
+        self.module = module or MaskTrackRCNNModule(cfg, dtype=dtype)
         self.variables = variables
         self.num_slots = num_slots
         self._detect = jax.jit(self._detect_impl,

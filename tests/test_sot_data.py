@@ -213,3 +213,58 @@ def test_check_pad_mask_validity():
     partial = np.ones((32, 32))
     partial[:16, :16] = 0
     assert check_pad_mask_validity([partial], stride=16)
+
+
+def test_sot_coco_dataset(tmp_path):
+    import json
+
+    from stereotracking_tpu.data.sot import SOTCocoDataset
+    ann = dict(
+        images=[dict(id=1, file_name='a.jpg', width=64, height=48),
+                dict(id=2, file_name='b.jpg', width=64, height=48)],
+        annotations=[
+            dict(id=10, image_id=1, bbox=[4, 6, 20, 10], iscrowd=0),
+            dict(id=11, image_id=1, bbox=[0, 0, 5, 5], iscrowd=1),
+            dict(id=12, image_id=2, bbox=[1, 2, 0, 8], iscrowd=0)],
+        categories=[dict(id=1, name='x')])
+    p = tmp_path / 'coco.json'
+    p.write_text(json.dumps(ann))
+    ds = SOTCocoDataset(str(p), img_prefix='/data')
+    # crowd annotation excluded; each annotation is a length-1 video
+    assert len(ds) == 2
+    info = ds.video_info(0)
+    assert info['video_length'] == 1
+    assert info['img_paths'] == ['/data/a.jpg']
+    np.testing.assert_allclose(info['bboxes'][0], [4, 6, 24, 16])
+    assert info['visible'][0]
+    # zero-width box -> invalid
+    assert not ds.video_info(1)['bboxes_isvalid'][0]
+
+
+def test_sot_imagenet_vid_dataset(tmp_path):
+    import json
+
+    from stereotracking_tpu.data.sot import SOTImageNetVIDDataset
+    ann = dict(
+        videos=[dict(id=1, name='v')],
+        images=[dict(id=1, video_id=1, frame_id=0, file_name='f0.jpg'),
+                dict(id=2, video_id=1, frame_id=2, file_name='f2.jpg'),
+                dict(id=3, video_id=1, frame_id=5, file_name='f5.jpg')],
+        annotations=[
+            dict(id=1, image_id=1, instance_id=7, bbox=[4, 6, 20, 10]),
+            dict(id=2, image_id=2, instance_id=7, bbox=[6, 8, 20, 10],
+                 occluded=True),
+            dict(id=3, image_id=3, instance_id=7, bbox=[8, 9, 20, 10]),
+            dict(id=4, image_id=1, instance_id=9, bbox=[0, 0, 8, 8])],
+        categories=[dict(id=1, name='x')])
+    p = tmp_path / 'vid.json'
+    p.write_text(json.dumps(ann))
+    ds = SOTImageNetVIDDataset(str(p))
+    assert len(ds) == 2                     # instances 7 and 9
+    info = ds.video_info(0)                 # instance 7
+    assert info['video_length'] == 3
+    # frame ids are NOT contiguous (sot_imagenet_vid_dataset.py:81)
+    assert info['frame_ids'] == [0, 2, 5]
+    np.testing.assert_allclose(info['bboxes'][1], [6, 8, 26, 18])
+    # occluded middle frame is not visible
+    assert list(info['visible']) == [True, False, True]
