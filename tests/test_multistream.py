@@ -50,6 +50,38 @@ def test_batched_equals_sequential():
                 np.asarray(res.track_valid))
 
 
+def test_chunked_equals_per_frame():
+    """track_raw_chunk (T frames in one scanned program) must carry the
+    tracker state identically to T per-frame track_raw dispatches."""
+    oh, ow = padded_shape(H, W)
+    rng = np.random.RandomState(0)
+    T, S = 3, 2
+    imgs = rng.randint(0, 255, (T, S, H, W, 3), np.uint8)
+    disps = rng.randint(16, 1600, (T, S, H, W), np.uint16)
+    fids = np.asarray([[t] * S for t in range(T)], np.int32)
+
+    ms_a = MultiStreamTracker(SMALL, n_streams=S, input_shape=(oh, ow))
+    ms_b = MultiStreamTracker(SMALL, n_streams=S, variables=ms_a.variables,
+                              input_shape=(oh, ow))
+    per_frame = [ms_a.track_raw(jnp.asarray(imgs[t]), jnp.asarray(disps[t]),
+                                fids[t]) for t in range(T)]
+    chunked = ms_b.track_raw_chunk(jnp.asarray(imgs), jnp.asarray(disps),
+                                   jnp.asarray(fids))
+    for t in range(T):
+        np.testing.assert_array_equal(
+            np.asarray(chunked.track_ids)[t],
+            np.asarray(per_frame[t].track_ids))
+        np.testing.assert_array_equal(
+            np.asarray(chunked.track_valid)[t],
+            np.asarray(per_frame[t].track_valid))
+        np.testing.assert_allclose(
+            np.asarray(chunked.track_bboxes)[t],
+            np.asarray(per_frame[t].track_bboxes), atol=1e-2)
+    # carried states identical after the chunk
+    np.testing.assert_array_equal(np.asarray(ms_a.states.num_tracks),
+                                  np.asarray(ms_b.states.num_tracks))
+
+
 def test_streams_sharded_over_mesh():
     oh, ow = padded_shape(H, W)
     mesh = make_mesh(8)
