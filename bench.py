@@ -98,7 +98,11 @@ def main():
     n_steps = 30 if on_accel else 3
     oh, ow = padded_shape(h, w)
 
-    ms = MultiStreamTracker(MOTConfig(), n_streams=n_streams,
+    cfg = MOTConfig()
+    quant = os.environ.get('BENCH_QUANT')  # '' | 'int8' | 'sim8'
+    if quant:
+        cfg = cfg._replace(detector=cfg.detector._replace(quant=quant))
+    ms = MultiStreamTracker(cfg, n_streams=n_streams,
                             dtype=jnp.bfloat16, input_shape=(oh, ow))
 
     # pre-stage 4 distinct RAW frame-sets per stream in HBM (uint8 + uint16,
@@ -167,6 +171,8 @@ def main():
     name = f'stereo_pairs_per_sec_per_chip_{h}p_{n_streams}streams'
     if chunk > 1:
         name += f'_chunk{chunk}'
+    if quant:
+        name += f'_{quant}'
     if _os.environ.get('_BENCH_CPU_FALLBACK') == '1':
         name += '_TPU_WEDGED_cpu_fallback'
     out = {

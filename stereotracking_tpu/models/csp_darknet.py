@@ -46,6 +46,7 @@ class _Stage(nn.Module):
     use_spp: bool
     spp_kernel_sizes: Tuple[int, ...] = (5, 9, 13)
     dtype: Any = jnp.float32
+    quant: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, s2d_in: bool = False,
@@ -59,20 +60,24 @@ class _Stage(nn.Module):
             assert not self.use_spp
             mode = 's2d2_in_fold_out' if s2d_in else 'fold_through'
             x = ConvBNAct(self.out_channels, 3, strides=2,
-                          dtype=self.dtype, name='conv')(
+                          dtype=self.dtype, quant=self.quant, name='conv')(
                               x, train, conv_mode=mode)
             return CSPLayer(self.out_channels, self.num_blocks,
                             self.add_identity, dtype=self.dtype,
+                            quant=self.quant,
                             name='csp')(x, train, fold=True)
         mode = 's2d2_in' if s2d_in else (
             'fold_consume' if fold_in else None)
         x = ConvBNAct(self.out_channels, 3, strides=2, dtype=self.dtype,
-                      name='conv')(x, train, conv_mode=mode)
+                      quant=self.quant, name='conv')(x, train,
+                                                     conv_mode=mode)
         if self.use_spp:
             x = SPPFBottleneck(self.out_channels, self.spp_kernel_sizes,
-                               dtype=self.dtype, name='spp')(x, train)
+                               dtype=self.dtype, quant=self.quant,
+                               name='spp')(x, train)
         x = CSPLayer(self.out_channels, self.num_blocks, self.add_identity,
-                     dtype=self.dtype, name='csp')(x, train)
+                     dtype=self.dtype, quant=self.quant,
+                     name='csp')(x, train)
         return x
 
 
@@ -88,12 +93,14 @@ class CSPDarknet(nn.Module):
     spp_kernel_sizes: Tuple[int, ...] = (5, 9, 13)
     norm_eval: bool = False
     dtype: Any = jnp.float32
+    quant: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if isinstance(x, dict):
             x = x['img']
         train = train and not self.norm_eval
+        q = None if train else self.quant   # int8 is an inference mode
         s2d = _use_s2d(x, train) and 0 not in self.out_indices
         outs = []
         x = Focus(widen(64, self.widen_factor), dtype=self.dtype,
@@ -105,7 +112,7 @@ class CSPDarknet(nn.Module):
         for i, (_, out_ch, n, ident, spp) in enumerate(P5_ARCH):
             x = _Stage(widen(out_ch, self.widen_factor),
                        make_round(n, self.deepen_factor), ident, spp,
-                       self.spp_kernel_sizes, dtype=self.dtype,
+                       self.spp_kernel_sizes, dtype=self.dtype, quant=q,
                        name=f'stage{i + 1}')(x, train,
                                              s2d_in=s2d and i == 0,
                                              fold_out=fold and i == 0,
@@ -130,10 +137,12 @@ class CSPDarknetDual(nn.Module):
     spp_kernel_sizes: Tuple[int, ...] = (5, 9, 13)
     norm_eval: bool = False
     dtype: Any = jnp.float32
+    quant: Any = None
 
     @nn.compact
     def __call__(self, x: dict, train: bool = False):
         train = train and not self.norm_eval
+        q = None if train else self.quant   # int8 is an inference mode
         img = x['img']
         disp = x['disp_postp']
         wf, df = self.widen_factor, self.deepen_factor
@@ -148,11 +157,11 @@ class CSPDarknetDual(nn.Module):
         s1 = P5_ARCH[0]
         fold = s2d and 1 not in self.out_indices and not self.out_fd
         o_rgb = _Stage(widen(s1[1], wf), make_round(s1[2], df), s1[3], s1[4],
-                       self.spp_kernel_sizes, dtype=self.dtype,
+                       self.spp_kernel_sizes, dtype=self.dtype, quant=q,
                        name='stage1')(o_rgb, train, s2d_in=s2d,
                                       fold_out=fold)
         o_disp = _Stage(widen(s1[1], wf), make_round(s1[2], df), s1[3], s1[4],
-                        self.spp_kernel_sizes, dtype=self.dtype,
+                        self.spp_kernel_sizes, dtype=self.dtype, quant=q,
                         name='disp_stage1')(o_disp, train, s2d_in=s2d,
                                             fold_out=fold)
 
@@ -166,7 +175,7 @@ class CSPDarknetDual(nn.Module):
         for i in range(1, 4):
             _, out_ch, n, ident, spp = P5_ARCH[i]
             y = _Stage(widen(out_ch, wf), make_round(n, df), ident, spp,
-                       self.spp_kernel_sizes, dtype=self.dtype,
+                       self.spp_kernel_sizes, dtype=self.dtype, quant=q,
                        name=f'stage{i + 1}')(y, train,
                                              fold_in=fold and i == 1)
             if i + 1 in self.out_indices:
@@ -185,13 +194,15 @@ class CSPDarknetConcat(nn.Module):
     out_indices: Sequence[int] = (2, 3, 4)
     spp_kernel_sizes: Tuple[int, ...] = (5, 9, 13)
     dtype: Any = jnp.float32
+    quant: Any = None
 
     @nn.compact
     def __call__(self, x: dict, train: bool = False):
         img = jnp.concatenate([x['img'], x['disp_postp']], axis=-1)
         return CSPDarknet(self.deepen_factor, self.widen_factor,
                           self.out_indices, self.spp_kernel_sizes,
-                          dtype=self.dtype, name='trunk')(img, train)
+                          dtype=self.dtype, quant=self.quant,
+                          name='trunk')(img, train)
 
 
 def frozen_stage_paths(frozen_stages: int, dual: bool = False):

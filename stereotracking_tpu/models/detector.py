@@ -33,6 +33,11 @@ class DetectorConfig(NamedTuple):
     nms_iou_thr: float = 0.5
     max_per_img: int = 300
     pre_nms_top_k: int = 2048
+    # quantized inference for backbone stages + neck convs (None | 'int8' |
+    # 'sim8'); the head stays in the compute dtype (regression-sensitive),
+    # as do the stems (they read 0-255 raw pixels). Inference-only: train
+    # mode always evaluates the canonical convs.
+    quant: Any = None
 
 
 class YOLOXDetector(nn.Module):
@@ -45,17 +50,20 @@ class YOLOXDetector(nn.Module):
         cfg = self.cfg
         if cfg.backbone == 'dual':
             bb = CSPDarknetDual(cfg.deepen_factor, cfg.widen_factor,
-                                dtype=self.dtype, name='backbone')
+                                dtype=self.dtype, quant=cfg.quant,
+                                name='backbone')
         elif cfg.backbone == 'concat':
             bb = CSPDarknetConcat(cfg.deepen_factor, cfg.widen_factor,
-                                  dtype=self.dtype, name='backbone')
+                                  dtype=self.dtype, quant=cfg.quant,
+                                  name='backbone')
         else:
             bb = CSPDarknet(cfg.deepen_factor, cfg.widen_factor,
-                            dtype=self.dtype, name='backbone')
+                            dtype=self.dtype, quant=cfg.quant,
+                            name='backbone')
         feats = bb(inputs, train)
         feats = YOLOXPAFPN(
             deepen_factor=cfg.deepen_factor, widen_factor=cfg.widen_factor,
-            dtype=self.dtype, name='neck')(feats, train)
+            dtype=self.dtype, quant=cfg.quant, name='neck')(feats, train)
         return YOLOXHeadModule(
             num_classes=cfg.num_classes, widen_factor=cfg.widen_factor,
             strides=cfg.strides, dtype=self.dtype,

@@ -28,10 +28,12 @@ class YOLOXPAFPN(nn.Module):
     deepen_factor: float = 0.33
     widen_factor: float = 0.5
     dtype: Any = jnp.float32
+    quant: Any = None
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
         assert len(feats) == len(self.in_channels)
+        q = None if train else self.quant   # int8 is an inference mode
         wf = self.widen_factor
         chans = [widen(c, wf) for c in self.in_channels]
         num_csp = make_round(3, self.deepen_factor)
@@ -43,13 +45,13 @@ class YOLOXPAFPN(nn.Module):
             feat_high = inner_outs[0]
             feat_low = feats[idx - 1]
             feat_high = ConvBNAct(
-                chans[idx - 1], 1, dtype=self.dtype,
+                chans[idx - 1], 1, dtype=self.dtype, quant=q,
                 name=f'reduce_{n_levels - 1 - idx}')(feat_high, train)
             inner_outs[0] = feat_high
             up = _upsample_nearest_2x(feat_high)
             inner = CSPLayer(
                 chans[idx - 1], num_csp, add_identity=False, dtype=self.dtype,
-                name=f'top_down_{n_levels - 1 - idx}')(
+                quant=q, name=f'top_down_{n_levels - 1 - idx}')(
                     jnp.concatenate([up, feat_low], axis=-1), train)
             inner_outs.insert(0, inner)
 
@@ -57,11 +59,11 @@ class YOLOXPAFPN(nn.Module):
         outs = [inner_outs[0]]
         for idx in range(n_levels - 1):
             feat_low = ConvBNAct(
-                chans[idx], 3, strides=2, dtype=self.dtype,
+                chans[idx], 3, strides=2, dtype=self.dtype, quant=q,
                 name=f'downsample_{idx}')(outs[-1], train)
             out = CSPLayer(
                 chans[idx + 1], num_csp, add_identity=False, dtype=self.dtype,
-                name=f'bottom_up_{idx}')(
+                quant=q, name=f'bottom_up_{idx}')(
                     jnp.concatenate([feat_low, inner_outs[idx + 1]], axis=-1),
                     train)
             outs.append(out)
@@ -69,5 +71,6 @@ class YOLOXPAFPN(nn.Module):
         # output projections
         out_ch = widen(self.out_channels, wf)
         return tuple(
-            ConvBNAct(out_ch, 1, dtype=self.dtype, name=f'out_{i}')(o, train)
+            ConvBNAct(out_ch, 1, dtype=self.dtype, quant=q,
+                      name=f'out_{i}')(o, train)
             for i, o in enumerate(outs))
