@@ -53,6 +53,37 @@ class Mask2FormerConfig(NamedTuple):
     # tiny-config backbone knobs (None/64 = canonical r50)
     stage_blocks: Tuple[int, ...] = None
     base_width: int = 64
+    # reference builds decoder input projs only when embed dims differ
+    # (mask2former_head.py:122-131); canonical configs use Identity
+    enforce_decoder_input_project: bool = False
+
+
+def sine_positional_encoding_3d(t: int, h: int, w: int, num_feats: int,
+                                temperature: float = 10000.0,
+                                eps: float = 1e-6) -> jnp.ndarray:
+    """mmtrack SinePositionalEncoding3D(normalize=True) for an all-valid
+    (T, H, W) volume (layers/positional_encoding.py:61-117): the 2D DETR
+    encoding cat(pos_y, pos_x) plus a temporal sine term pos_z computed
+    over 2*num_feats dims.  Returns (T, H, W, 2 * num_feats)."""
+    import math
+    scale = 2 * math.pi
+    z = (jnp.arange(1, t + 1, dtype=jnp.float32) / (t + eps) * scale)
+    y = (jnp.arange(1, h + 1, dtype=jnp.float32) / (h + eps) * scale)
+    x = (jnp.arange(1, w + 1, dtype=jnp.float32) / (w + eps) * scale)
+
+    def enc(v, nf):
+        dim_t = temperature ** (2 * (jnp.arange(nf) // 2) / nf)
+        p = v[:, None] / dim_t
+        return jnp.stack([jnp.sin(p[:, 0::2]), jnp.cos(p[:, 1::2])],
+                         axis=2).reshape(v.shape[0], -1)
+
+    pos_y = enc(y, num_feats)                       # (H, C/2)
+    pos_x = enc(x, num_feats)                       # (W, C/2)
+    pos_z = enc(z, num_feats * 2)                   # (T, C)
+    pos2d = jnp.concatenate([
+        jnp.broadcast_to(pos_y[:, None, :], (h, w, num_feats)),
+        jnp.broadcast_to(pos_x[None, :, :], (h, w, num_feats))], -1)
+    return pos2d[None] + pos_z[:, None, None, :]
 
 
 class MSDeformAttn(nn.Module):
@@ -135,10 +166,10 @@ class _EncoderLayer(nn.Module):
         a = MSDeformAttn(self.dim, self.heads, self.levels, self.points,
                          dtype=self.dtype, name='attn')(x + pos, x, ref,
                                                         shapes)
-        x = nn.LayerNorm(dtype=self.dtype, name='norm1')(x + a)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm1')(x + a)
         f = nn.Dense(self.ffn, dtype=self.dtype, name='ffn1')(x)
         f = nn.Dense(self.dim, dtype=self.dtype, name='ffn2')(nn.relu(f))
-        return nn.LayerNorm(dtype=self.dtype, name='norm2')(x + f)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm2')(x + f)
 
 
 class MSDeformAttnPixelDecoder(nn.Module):
@@ -164,7 +195,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
         for i, f in enumerate(enc_feats):
             x = nn.Conv(self.dim, (1, 1), dtype=self.dtype,
                         name=f'input_conv{i}')(f)
-            x = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
                              name=f'input_gn{i}')(x)
             hh, ww = x.shape[1], x.shape[2]
             pos = sine_positional_encoding(jnp.zeros((n, hh, ww)),
@@ -191,16 +222,18 @@ class MSDeformAttnPixelDecoder(nn.Module):
             n, shapes[i][0], shapes[i][1], self.dim) for i in range(3)]
 
         # stride-4 lateral + top-down from the stride-8 encoder output
-        lat = nn.Conv(self.dim, (1, 1), dtype=self.dtype,
+        # (ConvModule(bias=False) before GN, mask_feature is a 1x1 conv —
+        # mmdet MSDeformAttnPixelDecoder / detectron2 msdeformattn.py)
+        lat = nn.Conv(self.dim, (1, 1), use_bias=False, dtype=self.dtype,
                       name='lateral4')(feats[0])
-        lat = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+        lat = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
                            name='lateral4_gn')(lat)
         up = jax.image.resize(memories[2], lat.shape, 'bilinear')
-        y = nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype,
-                    name='output4')(lat + up)
-        y = nn.relu(nn.GroupNorm(num_groups=32, dtype=self.dtype,
-                                 name='output4_gn')(y))
-        mask_features = nn.Conv(self.dim, (3, 3), padding=1,
+        y = nn.Conv(self.dim, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name='output4')(lat + up)
+        y = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                 dtype=self.dtype, name='output4_gn')(y))
+        mask_features = nn.Conv(self.dim, (1, 1),
                                 dtype=self.dtype, name='mask_feat')(y)
         return mask_features, memories
 
@@ -247,14 +280,14 @@ class _DecoderLayer(nn.Module):
         a = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, dtype=self.dtype, name='cross_attn')(
                 q + qpos, mem + mpos, mem, mask=attn_mask)
-        q = nn.LayerNorm(dtype=self.dtype, name='norm1')(q + a)
+        q = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm1')(q + a)
         a = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, dtype=self.dtype, name='self_attn')(
                 q + qpos, q + qpos, q)
-        q = nn.LayerNorm(dtype=self.dtype, name='norm2')(q + a)
+        q = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm2')(q + a)
         h = nn.Dense(self.ffn, dtype=self.dtype, name='ffn1')(q)
         h = nn.Dense(self.dim, dtype=self.dtype, name='ffn2')(nn.relu(h))
-        return nn.LayerNorm(dtype=self.dtype, name='norm3')(q + h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm3')(q + h)
 
 
 class Mask2FormerVIS(nn.Module):
@@ -278,10 +311,17 @@ class Mask2FormerVIS(nn.Module):
         else:
             self.pixel_decoder = PixelDecoderFPN(c.embed_dim,
                                                  dtype=self.dtype)
-        self.decoder_input_projs = [
-            nn.Conv(c.embed_dim, (1, 1), dtype=self.dtype,
-                    name=f'input_proj{i}')
-            for i in range(c.num_feat_levels)]
+        # reference builds Conv2d projs only when decoder embed dims
+        # differ from feat_channels (mask2former_head.py:122-131);
+        # canonical configs hit the Identity branch
+        if c.enforce_decoder_input_project:
+            self.decoder_input_projs = [
+                nn.Conv(c.embed_dim, (1, 1), dtype=self.dtype,
+                        name=f'input_proj{i}')
+                for i in range(c.num_feat_levels)]
+        else:
+            self.decoder_input_projs = [
+                (lambda x: x) for _ in range(c.num_feat_levels)]
         self.level_embed = self.param(
             'level_embed', nn.initializers.normal(1.0),
             (c.num_feat_levels, c.embed_dim))
@@ -295,7 +335,7 @@ class Mask2FormerVIS(nn.Module):
             _DecoderLayer(c.embed_dim, c.num_heads, c.ffn_dim,
                           dtype=self.dtype, name=f'layer{i}')
             for i in range(c.num_decoder_layers)]
-        self.post_norm = nn.LayerNorm(dtype=self.dtype, name='post_norm')
+        self.post_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='post_norm')
         self.cls_embed = nn.Dense(c.num_classes + 1, dtype=self.dtype,
                                   name='cls_embed')
         self.mask_embed_fc1 = nn.Dense(c.embed_dim, dtype=self.dtype)
@@ -313,8 +353,10 @@ class Mask2FormerVIS(nn.Module):
             nn.relu(self.mask_embed_fc1(out)))))
         mask_pred = jnp.einsum('qc,thwc->qthw', me, mask_features)
         q, t = mask_pred.shape[0], mask_pred.shape[1]
+        # F.interpolate(bilinear, align_corners=False) semantics — torch
+        # does NOT antialias this downsample (_forward_head:458-463)
         am = jax.image.resize(
-            mask_pred, (q, t, *target_hw), 'bilinear')
+            mask_pred, (q, t, *target_hw), 'bilinear', antialias=False)
         am = jax.nn.sigmoid(am.reshape(q, -1)) >= 0.5   # True = attend
         # all-background query -> attend everywhere (:545-547)
         none = ~am.any(axis=1, keepdims=True)
@@ -332,8 +374,9 @@ class Mask2FormerVIS(nn.Module):
         for i, m in enumerate(memories):
             x = self.decoder_input_projs[i](m) + self.level_embed[i]
             th, tw = m.shape[1], m.shape[2]
-            pos = sine_positional_encoding(
-                jnp.zeros((t, th, tw)), c.embed_dim // 2)
+            # SinePositionalEncoding3D over (T, h, w): the decoder keys
+            # carry a temporal sine term (mask2former_head.py:78-80,520-526)
+            pos = sine_positional_encoding_3d(t, th, tw, c.embed_dim // 2)
             mem_seqs.append(x.reshape(1, -1, c.embed_dim))   # (1, T*h*w, C)
             mem_pos.append(pos.reshape(1, -1, c.embed_dim))
 
@@ -368,7 +411,8 @@ def mask2former_predict(cls_pred: jnp.ndarray, mask_pred: jnp.ndarray,
     k = cfg.num_classes
     scores = jax.nn.softmax(cls_pred, axis=-1)[:, :k]     # (Q, K)
     flat = scores.reshape(-1)
-    top_s, top_i = jax.lax.top_k(flat, cfg.max_per_video)
+    top_s, top_i = jax.lax.top_k(flat,
+                                 min(cfg.max_per_video, flat.shape[0]))
     q_idx = top_i // k
     labels = top_i % k
     masks = jax.nn.sigmoid(mask_pred[q_idx]) > 0.5        # (P, T, H, W)

@@ -876,7 +876,87 @@ def convert_embed_aggregator_state_dict(src: Dict[str, np.ndarray],
     return out
 
 
-def convert_zoo_checkpoint(src, model: str) -> Dict:
+def _gn(src: Dict[str, np.ndarray], prefix: str) -> Dict:
+    return {'scale': np.asarray(src[f'{prefix}.weight']),
+            'bias': np.asarray(src[f'{prefix}.bias'])}
+
+
+def convert_mask2former_state_dict(src: Dict[str, np.ndarray],
+                                   heads: int = 8) -> Tuple[Dict, Dict]:
+    """mmtrack Mask2Former VIS checkpoint (``backbone.`` ResNet-50 +
+    ``track_head.`` Mask2FormerHead, mmtrack/models/vis/mask2former.py:29-42,
+    track_heads/mask2former_head.py:120-145) ->
+    ``models.vis.mask2former.Mask2FormerVIS`` variable trees.
+
+    Pixel decoder keys follow mmdet MSDeformAttnPixelDecoder
+    (input_convs/encoder.layers.{i}.attentions.0 = MultiScaleDeformable-
+    Attention with bare sampling_offsets/attention_weights/value_proj/
+    output_proj Linears, level_encoding Embedding, lateral/output ConvModule,
+    mask_feature 1x1); decoder layers are mmcv BaseTransformerLayer with
+    operation order cross->self->ffn, so attentions.0 is the CROSS attention
+    (mask2former_head.py:543-556)."""
+    params: Dict[str, Any] = {}
+    bp, bs = convert_resnet_state_dict(src, 'backbone')
+    params['backbone'] = bp
+    stats = {'backbone': bs}
+
+    h = _strip(src, 'track_head')
+    pd_src = _strip(h, 'pixel_decoder')
+    pd: Dict[str, Any] = {
+        'level_embed': np.asarray(pd_src['level_encoding.weight'])}
+    for i in range(3):
+        conv = _plain_conv(pd_src, f'input_convs.{i}.conv')
+        if conv is None:
+            break
+        pd[f'input_conv{i}'] = conv
+        pd[f'input_gn{i}'] = _gn(pd_src, f'input_convs.{i}.gn')
+    i = 0
+    while f'encoder.layers.{i}.norms.0.weight' in pd_src:
+        p = f'encoder.layers.{i}'
+        a = f'{p}.attentions.0'
+        pd[f'layer{i}'] = {
+            'attn': {
+                'sampling_offsets': _dense(pd_src, f'{a}.sampling_offsets'),
+                'attention_weights': _dense(pd_src,
+                                            f'{a}.attention_weights'),
+                'value_proj': _dense(pd_src, f'{a}.value_proj'),
+                'output_proj': _dense(pd_src, f'{a}.output_proj')},
+            'norm1': _ln(pd_src, f'{p}.norms.0'),
+            'ffn1': _dense(pd_src, f'{p}.ffns.0.layers.0.0'),
+            'ffn2': _dense(pd_src, f'{p}.ffns.0.layers.1'),
+            'norm2': _ln(pd_src, f'{p}.norms.1')}
+        i += 1
+    pd['lateral4'] = _plain_conv(pd_src, 'lateral_convs.0.conv')
+    pd['lateral4_gn'] = _gn(pd_src, 'lateral_convs.0.gn')
+    pd['output4'] = _plain_conv(pd_src, 'output_convs.0.conv')
+    pd['output4_gn'] = _gn(pd_src, 'output_convs.0.gn')
+    pd['mask_feat'] = _plain_conv(pd_src, 'mask_feature')
+    params['pixel_decoder'] = pd
+
+    params['level_embed'] = np.asarray(h['level_embed.weight'])
+    params['query_feat'] = np.asarray(h['query_feat.weight'])
+    params['query_embed'] = np.asarray(h['query_embed.weight'])
+    i = 0
+    while f'transformer_decoder.layers.{i}.norms.0.weight' in h:
+        p = f'transformer_decoder.layers.{i}'
+        params[f'layer{i}'] = {
+            'cross_attn': _mha(h, f'{p}.attentions.0.attn', heads),
+            'self_attn': _mha(h, f'{p}.attentions.1.attn', heads),
+            'norm1': _ln(h, f'{p}.norms.0'),
+            'norm2': _ln(h, f'{p}.norms.1'),
+            'norm3': _ln(h, f'{p}.norms.2'),
+            'ffn1': _dense(h, f'{p}.ffns.0.layers.0.0'),
+            'ffn2': _dense(h, f'{p}.ffns.0.layers.1')}
+        i += 1
+    params['post_norm'] = _ln(h, 'transformer_decoder.post_norm')
+    params['cls_embed'] = _dense(h, 'cls_embed')
+    params['mask_embed_fc1'] = _dense(h, 'mask_embed.0')
+    params['mask_embed_fc2'] = _dense(h, 'mask_embed.2')
+    params['mask_embed_fc3'] = _dense(h, 'mask_embed.4')
+    return params, stats
+
+
+def convert_zoo_checkpoint(src, model: str, **kwargs) -> Dict:
     """Convert a reference torch checkpoint (path or raw state dict) for any
     zoo family into the matching flax variables tree.
 
@@ -918,4 +998,8 @@ def convert_zoo_checkpoint(src, model: str) -> Dict:
             out['aggregator'] = {
                 'params': convert_embed_aggregator_state_dict(src)}
         return out
+    if model == 'mask2former':
+        p, s = convert_mask2former_state_dict(
+            src, heads=kwargs.get('heads', 8))
+        return {'params': p, 'batch_stats': s}
     raise ValueError(f'unknown zoo model {model!r}')

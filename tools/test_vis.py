@@ -42,6 +42,14 @@ def parse_args():
     p.add_argument('--max-videos', type=int, default=0)
     p.add_argument('--max-frames', type=int, default=0)
     p.add_argument('--seed', type=int, default=0)
+    # mask2former smoke knobs (canonical 256/9/6 compiles are slow on CPU)
+    p.add_argument('--embed-dim', type=int, default=256)
+    p.add_argument('--decoder-layers', type=int, default=9)
+    p.add_argument('--pixel-decoder-layers', type=int, default=6)
+    p.add_argument('--num-queries', type=int, default=100)
+    p.add_argument('--num-heads', type=int, default=8)
+    p.add_argument('--ffn-dim', type=int, default=None,
+                   help='decoder FFN width (default: 8 * embed-dim)')
     return p.parse_args()
 
 
@@ -78,14 +86,31 @@ def main():
 
     variables = None
     if args.checkpoint:
-        from stereotracking_tpu.train.checkpoint import load_checkpoint
-        variables = load_checkpoint(args.checkpoint)
+        if args.checkpoint.endswith(('.pth', '.pt')):
+            # reference torch checkpoint: convert on load
+            # (apis/inference.py init_model pattern)
+            from stereotracking_tpu.utils import torch_convert as TC
+            if args.model == 'mask2former':
+                variables = TC.convert_zoo_checkpoint(
+                    args.checkpoint, 'mask2former', heads=args.num_heads)
+            else:
+                variables = TC.convert_zoo_checkpoint(
+                    args.checkpoint, 'masktrack')
+        else:
+            from stereotracking_tpu.train.checkpoint import load_checkpoint
+            variables = load_checkpoint(args.checkpoint)
 
     if args.model == 'mask2former':
         import jax.numpy as jnp
         from stereotracking_tpu.models.vis.mask2former import (
             Mask2FormerConfig, Mask2FormerVIS, mask2former_predict)
-        cfg = Mask2FormerConfig(num_classes=args.num_classes)
+        cfg = Mask2FormerConfig(
+            num_classes=args.num_classes, embed_dim=args.embed_dim,
+            num_heads=args.num_heads,
+            ffn_dim=args.ffn_dim or args.embed_dim * 8,
+            num_decoder_layers=args.decoder_layers,
+            pixel_decoder_layers=args.pixel_decoder_layers,
+            num_queries=args.num_queries)
         model = Mask2FormerVIS(cfg)
         if variables is None:
             variables = model.init(jax.random.PRNGKey(args.seed),
