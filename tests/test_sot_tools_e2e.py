@@ -95,3 +95,39 @@ def test_test_sot_ope_eval(sot_dataset, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     files = list(dump.glob('*/*_001.txt'))
     assert files and len(files[0].read_text().splitlines()) == 2
+
+
+def test_train_sot_cli_sot_coco(tmp_path):
+    """train_sot over the SOT-COCO wrapper (sot_coco_dataset.py analog):
+    single-frame COCO instances feed the same crop-pair pipeline."""
+    import json
+
+    import PIL.Image
+    root = tmp_path / 'coco'
+    root.mkdir()
+    rng = np.random.RandomState(1)
+    images, annotations = [], []
+    for i in range(4):
+        img = rng.randint(0, 255, (120, 160, 3), np.uint8)
+        x, y = 30 + 5 * i, 25 + 3 * i
+        img[y:y + 40, x:x + 50] = [60, 250, 60]
+        PIL.Image.fromarray(img).save(root / f'{i}.jpg')
+        images.append(dict(id=i + 1, file_name=f'{i}.jpg',
+                           width=160, height=120))
+        annotations.append(dict(id=10 + i, image_id=i + 1, category_id=1,
+                                bbox=[x, y, 50, 40], iscrowd=0, area=2000))
+    ann = dict(images=images, annotations=annotations,
+               categories=[dict(id=1, name='x')])
+    (root / 'ann.json').write_text(json.dumps(ann))
+
+    out = tmp_path / 'work'
+    r = subprocess.run(
+        [sys.executable, str(REPO / 'tools' / 'train_sot.py'),
+         '--data-root', str(root), '--dataset', 'sot_coco',
+         '--ann-file', str(root / 'ann.json'),
+         '--epochs', '1', '--steps-per-epoch', '2', '--batch-size', '2',
+         '--exemplar-size', '63', '--search-size', '127',
+         '--work-dir', str(out), '--ckpt-interval', '1'],
+        env=_env(), capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert (out / 'siamrpn_e1.ckpt').exists()

@@ -26,7 +26,11 @@ def parse_args():
     p = argparse.ArgumentParser(description='Train SiamRPN++')
     p.add_argument('--data-root', required=True)
     p.add_argument('--dataset', default='got10k',
-                   choices=['got10k', 'lasot', 'trackingnet', 'generic'])
+                   choices=['got10k', 'lasot', 'trackingnet', 'generic',
+                            'sot_coco', 'sot_imagenet_vid'])
+    p.add_argument('--ann-file', default=None,
+                   help='COCO/CocoVID json for the sot_coco / '
+                        'sot_imagenet_vid wrappers')
     p.add_argument('--work-dir', default='work_dirs/siamrpn')
     p.add_argument('--epochs', type=int, default=20)
     p.add_argument('--steps-per-epoch', type=int, default=500)
@@ -42,8 +46,14 @@ def parse_args():
 
 def build_dataset(args):
     from stereotracking_tpu.data.sot import (Got10kDataset, LaSOTDataset,
+                                             SOTCocoDataset,
+                                             SOTImageNetVIDDataset,
                                              SOTVideoDataset,
                                              TrackingNetDataset)
+    if args.dataset in ('sot_coco', 'sot_imagenet_vid'):
+        cls = (SOTCocoDataset if args.dataset == 'sot_coco'
+               else SOTImageNetVIDDataset)
+        return cls(args.ann_file, img_prefix=args.data_root)
     cls = {'got10k': Got10kDataset, 'lasot': LaSOTDataset,
            'trackingnet': TrackingNetDataset,
            'generic': SOTVideoDataset}[args.dataset]
