@@ -348,3 +348,15 @@ def test_mask2former_full_model_parity():
                                    atol=2e-3, err_msg=f'cls layer {li}')
         np.testing.assert_allclose(np.asarray(jm) / ms, tmk.numpy() / ms,
                                    atol=2e-3, err_msg=f'mask layer {li}')
+
+
+def test_convert_zoo_checkpoint_dispatch(tmp_path):
+    """The .pth dispatcher path used by tools/test_vis.py --checkpoint."""
+    tm = _randomize(TMask2Former(), seed=3)
+    path = str(tmp_path / 'm2f.pth')
+    torch.save({'state_dict': tm.state_dict(), 'meta': {}}, path)
+    out = TC.convert_zoo_checkpoint(path, 'mask2former', heads=HEADS)
+    assert set(out) == {'params', 'batch_stats'}
+    assert out['params']['query_feat'].shape == (Q, DIM)
+    assert out['params'][f'layer{DEC_LAYERS - 1}'][
+        'cross_attn']['query']['kernel'].shape == (DIM, HEADS, DIM // HEADS)
