@@ -47,8 +47,11 @@ def success_error(gt_centers: np.ndarray, pred_centers: np.ndarray,
     valid = (gt_centers[:, 0] > 0) & (gt_centers[:, 1] > 0)
     dist[valid] = np.sqrt(
         ((gt_centers[valid] - pred_centers[valid]) ** 2).sum(axis=1))
+    # NOTE reference quirk kept for parity (eval_sot_ope.py:53-61):
+    # frames with invalid GT centers keep dist = -1, and -1 <= t holds for
+    # every threshold, so such frames count as precision successes.
     for i, t in enumerate(offset_th):
-        success[i] = np.sum((dist <= t) & (dist >= 0)) / float(video_length)
+        success[i] = np.sum(dist <= t) / float(video_length)
     return success
 
 
