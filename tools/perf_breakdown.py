@@ -11,9 +11,13 @@ Run ONLY on the real chip, never concurrently with anything else:
 """
 import functools
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed_scan(fn, args, n_iter=20, perturb=None):
