@@ -93,9 +93,13 @@ def main():
                                cfg=cfg, out_h=oh, out_w=ow)
         return jax.vmap(fn)(states, imgs, disps, fid)
 
+    # perturb the IMAGES, not the frame ids: everything downstream of the
+    # detector is fid-independent, and perturbing only fid lets XLA hoist
+    # the whole forward out of the scan (measured: 10 ms/step vs the real
+    # ~54 ms/step).
     fids = jnp.ones((n_streams,), jnp.int32)
     report['full_step_ms'] = timed_scan(
-        full, (states, imgs, disps, fids), perturb=3) * 1e3
+        full, (states, imgs, disps, fids), perturb=1) * 1e3
 
     # 2) device preprocessing only
     def prep(imgs, disps):
