@@ -22,19 +22,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def timed_scan(fn, args, n_iter=20, perturb=None):
     """Device seconds per iteration of fn(*args), measured as one scanned
-    program.  ``perturb``: index of the arg to nudge by the loop counter
-    (defaults to the last array arg)."""
+    program.  ``perturb``: index (or tuple of indices) of the args to nudge
+    by the loop counter (defaults to the last arg).  EVERY data input the
+    measured slice consumes must be perturbed: any arg left constant makes
+    everything computed purely from it loop-invariant, and XLA hoists that
+    whole sub-graph out of the scan (measured: a constant disparity input
+    hoisted the entire disparity branch + depth path, under-reporting the
+    full step by 18 ms)."""
     import jax
     import jax.numpy as jnp
+
+    ks = ((perturb,) if isinstance(perturb, int)
+          else tuple(perturb) if perturb is not None else (len(args) - 1,))
 
     @jax.jit
     def run(args):
         def body(carry, i):
             a = list(args)
-            k = perturb if perturb is not None else len(a) - 1
-            a[k] = jax.tree.map(
-                lambda x: x + jnp.asarray(i, x.dtype)
-                if jnp.issubdtype(x.dtype, jnp.number) else x, a[k])
+            for k in ks:
+                a[k] = jax.tree.map(
+                    lambda x: x + jnp.asarray(i, x.dtype)
+                    if jnp.issubdtype(x.dtype, jnp.number) else x, a[k])
             out = fn(*a)
             s = sum(jnp.sum(jnp.abs(x.astype(jnp.float32)))
                     for x in jax.tree.leaves(out)
@@ -93,13 +101,11 @@ def main():
                                cfg=cfg, out_h=oh, out_w=ow)
         return jax.vmap(fn)(states, imgs, disps, fid)
 
-    # perturb the IMAGES, not the frame ids: everything downstream of the
-    # detector is fid-independent, and perturbing only fid lets XLA hoist
-    # the whole forward out of the scan (measured: 10 ms/step vs the real
-    # ~54 ms/step).
+    # perturb images AND disparities (see timed_scan docstring): a constant
+    # arg hoists its entire dependent sub-graph out of the loop.
     fids = jnp.ones((n_streams,), jnp.int32)
     report['full_step_ms'] = timed_scan(
-        full, (states, imgs, disps, fids), perturb=1) * 1e3
+        full, (states, imgs, disps, fids), perturb=(1, 2)) * 1e3
 
     # 2) device preprocessing only
     def prep(imgs, disps):
@@ -107,7 +113,7 @@ def main():
             i, d, oh, ow))(imgs, disps)
 
     report['preprocess_ms'] = timed_scan(prep, (imgs, disps),
-                                         perturb=0) * 1e3
+                                         perturb=(0, 1)) * 1e3
 
     inputs = prep(imgs, disps)
     inputs = jax.tree.map(jnp.asarray, inputs)
@@ -142,8 +148,47 @@ def main():
 
     report['forward_ms'] = timed_scan(det_fwd, (inputs,), perturb=0) * 1e3
 
+    # 6) detector_predict (forward + decode + NMS) — isolates decode/NMS
+    from stereotracking_tpu.models.detector import detector_predict
+
+    def det_pred(inputs):
+        return jax.vmap(lambda x: detector_predict(
+            variables, module, x, (1.0, 1.0)))(inputs)
+
+    report['forward_decode_nms_ms'] = timed_scan(det_pred, (inputs,),
+                                                 perturb=0) * 1e3
+
+    # 7) per-box depth extraction (the 2-call reporting shape)
+    from stereotracking_tpu.ops.depth import extract_box_depths
+
+    nd = cfg.tracker.num_dets
+    depth_map = jnp.asarray(
+        rng.uniform(1.0, 80.0, (n_streams, oh, ow)).astype(np.float32))
+    boxes = jnp.asarray(
+        rng.uniform(0, 900, (n_streams, nd, 4)).astype(np.float32))
+    boxes = boxes.at[..., 2:].set(boxes[..., :2] + 64.0)
+    bvalid = jnp.ones((n_streams, nd), bool)
+
+    def depth2(depth_map, boxes):
+        f = lambda m, b, v: extract_box_depths(m, b, v, cfg.depth_crop,
+                                               cfg.depth_mode)
+        d1, s1 = jax.vmap(f)(depth_map, boxes, bvalid)
+        d2, s2 = jax.vmap(f)(depth_map, boxes + 1.0, bvalid)
+        return d1 + d2, s1 + s2
+
+    # NOTE synthetic WORST CASE: 64 scattered random boxes per stream, all
+    # valid, two calls.  The production step does ONE call
+    # (reuse_det_depth=True) on NMS valid-prefix boxes, fused into the full
+    # program where XLA overlaps the gathers with independent work — its
+    # true in-context cost is bounded by post_ms (measured 4.6 ms vs 25.4
+    # here).  Kept as a stress probe, not a pipeline slice.
+    report['depth_extract_worstcase_x2_ms'] = timed_scan(
+        depth2, (depth_map, boxes), perturb=(0, 1)) * 1e3
+
     report['neck_ms'] = report['backbone_neck_ms'] - report['backbone_ms']
     report['head_ms'] = report['forward_ms'] - report['backbone_neck_ms']
+    report['decode_nms_ms'] = (report['forward_decode_nms_ms']
+                               - report['forward_ms'])
     report['post_ms'] = (report['full_step_ms'] - report['forward_ms']
                          - report['preprocess_ms'])
     report = {k: round(v, 3) for k, v in report.items()}
