@@ -185,6 +185,26 @@ def main():
     report['depth_extract_worstcase_x2_ms'] = timed_scan(
         depth2, (depth_map, boxes), perturb=(0, 1)) * 1e3
 
+    # 8) optional backbone stage split (STTPU_STAGES=1): time cumulative
+    # prefixes by shrinking out_indices — XLA dead-code-eliminates the
+    # unconsumed later stages, and out_indices=(2,...) keeps the production
+    # s2d+fold layout for stem/stage1.
+    if os.environ.get('STTPU_STAGES') == '1':
+        def prefix_ms(out_idx):
+            b = CSPDarknetDual(cfg.detector.deepen_factor,
+                               cfg.detector.widen_factor,
+                               out_indices=out_idx, dtype=dtype)
+
+            def fwd(inputs):
+                return jax.vmap(lambda x: b.apply(bparams, x))(inputs)
+            return timed_scan(fwd, (inputs,), perturb=0) * 1e3
+
+        p2 = prefix_ms((2,))
+        p3 = prefix_ms((2, 3))
+        report['bb_stem_s1_s2_ms'] = p2
+        report['bb_stage3_ms'] = p3 - p2
+        report['bb_stage4_ms'] = report['backbone_ms'] - p3
+
     report['neck_ms'] = report['backbone_neck_ms'] - report['backbone_ms']
     report['head_ms'] = report['forward_ms'] - report['backbone_neck_ms']
     report['decode_nms_ms'] = (report['forward_decode_nms_ms']
