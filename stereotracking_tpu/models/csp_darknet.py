@@ -143,16 +143,27 @@ class CSPDarknetDual(nn.Module):
     def __call__(self, x: dict, train: bool = False):
         train = train and not self.norm_eval
         q = None if train else self.quant   # int8 is an inference mode
-        img = x['img']
-        disp = x['disp_postp']
         wf, df = self.widen_factor, self.deepen_factor
-        s2d = _use_s2d(img, train)
-
         outs = []
-        o_rgb = Focus(widen(64, wf), dtype=self.dtype, name='stem')(
-            space_to_depth(img, 4) if s2d else img, train, s2d=s2d)
-        o_disp = Focus(widen(64, wf), dtype=self.dtype, name='disp_stem')(
-            space_to_depth(disp, 4) if s2d else disp, train, s2d=s2d)
+        if 'stem_out' in x:
+            # stem activations precomputed by the pallas Focus kernel
+            # (ops/stem_pallas.py) from host-packed frames — already in the
+            # s2d(2) layout the folded stage-1 path consumes. The stem
+            # parameters still live in this module's canonical tree (the
+            # pallas path reads them via pallas_stem_outputs); init must use
+            # raw inputs so the tree is complete.
+            o_rgb = x['stem_out'][None].astype(self.dtype)
+            o_disp = x['disp_stem_out'][None].astype(self.dtype)
+            s2d = True
+        else:
+            img = x['img']
+            disp = x['disp_postp']
+            s2d = _use_s2d(img, train)
+            o_rgb = Focus(widen(64, wf), dtype=self.dtype, name='stem')(
+                space_to_depth(img, 4) if s2d else img, train, s2d=s2d)
+            o_disp = Focus(widen(64, wf), dtype=self.dtype,
+                           name='disp_stem')(
+                space_to_depth(disp, 4) if s2d else disp, train, s2d=s2d)
 
         s1 = P5_ARCH[0]
         fold = s2d and 1 not in self.out_indices and not self.out_fd

@@ -80,6 +80,18 @@ def detector_predict(variables, module: YOLOXDetector, inputs: dict,
     (mmdet ``rescale=True`` semantics).
     """
     cfg = module.cfg
+    if 'img_stem_pack' in inputs:
+        # host-packed frames: evaluate the Focus stems with the pallas
+        # kernel (ops/stem_pallas.py) and hand the s2d(2)-layout
+        # activations to the backbone (same canonical parameters)
+        from ..ops.stem_pallas import pallas_stem_outputs
+        wout = inputs['disp_postp'].shape[2] // 4
+        so, dso = pallas_stem_outputs(
+            variables['params']['backbone'],
+            variables['batch_stats']['backbone'],
+            inputs['img_stem_pack'], inputs['disp_stem_pack'], wout,
+            interpret=jax.default_backend() != 'tpu')
+        inputs = {**inputs, 'stem_out': so, 'disp_stem_out': dso}
     cls, reg, obj = module.apply(variables, inputs, train=False)
     boxes, scores = decode_predictions(cls, reg, obj, cfg.strides)
     boxes, scores = boxes[0], scores[0]          # batch of 1

@@ -128,15 +128,27 @@ def predict_frame_raw(variables, module: YOLOXDetector,
                       scale_factor: Tuple[float, float] = (1.0, 1.0),
                       depth_raw: Optional[jnp.ndarray] = None,
                       warp: Optional[jnp.ndarray] = None,
+                      img_pack: Optional[jnp.ndarray] = None,
+                      disp_pack: Optional[jnp.ndarray] = None,
                       ) -> Tuple[trk.TrackState, FrameResult]:
     """``predict_frame`` from RAW decoded frames: uint8 BGR (H, W, 3) +
     uint16 disparity (H, W).  The device-side preprocessing (cast, invalid-
     pixel mask, /16 fixed-point, pad-to-divisor) fuses into the SAME XLA
     program as detector + depth + tracker, so the per-frame production path
     truly is one program from camera bytes to track IDs.  jit with static
-    (module, cfg, out_h, out_w, scale_factor)."""
+    (module, cfg, out_h, out_w, scale_factor).
+
+    ``img_pack``/``disp_pack``: optional host-packed stem-layout frames
+    (stereotracking_tpu._native.stem_pack_u8/stem_pack_disp_bf16, packed at
+    (out_h, out_w)).  When given, the Focus stems evaluate via the pallas
+    kernel (~5x faster at 1080p on v5e); XLA dead-code-eliminates the then
+    unused full-res image cast.  Outputs are identical up to bf16 rounding
+    of the stem activation (tests/test_stem_pallas.py)."""
     from .preprocessor import preprocess_frame_pure
     inputs = preprocess_frame_pure(img_u8, disp_u16, out_h, out_w, depth_raw)
+    if img_pack is not None:
+        inputs = {**inputs, 'img_stem_pack': img_pack,
+                  'disp_stem_pack': disp_pack}
     return predict_frame(variables, module, state, inputs, frame_id, cfg,
                          scale_factor, warp=warp)
 

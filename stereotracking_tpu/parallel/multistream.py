@@ -88,6 +88,17 @@ class MultiStreamTracker:
         self._step_raw = jax.jit(
             _step_raw, static_argnames=('out_h', 'out_w', 'scale_factor'))
 
+        def _step_packed(variables, states, imgs, disps, ipacks, dpacks,
+                         frame_ids, out_h, out_w, scale_factor):
+            fn = functools.partial(predict_frame_raw, variables, self.module,
+                                   cfg=self.cfg, out_h=out_h, out_w=out_w,
+                                   scale_factor=scale_factor)
+            return jax.vmap(fn)(states, imgs, disps, frame_ids,
+                                img_pack=ipacks, disp_pack=dpacks)
+
+        self._step_packed = jax.jit(
+            _step_packed, static_argnames=('out_h', 'out_w', 'scale_factor'))
+
     def shard_inputs(self, inputs: dict) -> dict:
         if self.mesh is None:
             return inputs
@@ -124,11 +135,90 @@ class MultiStreamTracker:
             scale_factor=scale_factor)
         return result
 
+    @staticmethod
+    def pack_frames(imgs_u8, disps_u16, out_h: int, out_w: int):
+        """Host-side stem-layout packing of a batch of raw frames (the
+        data-loader step of the pallas-stem serving path; C++ packer,
+        csrc/stem_pack.cpp).  Returns (img_packs uint8 (S, HQ, 48, WQ),
+        disp_packs bf16 (S, HQ, 16, WQ))."""
+        import ml_dtypes
+        import numpy as np
+
+        from .._native import stem_pack_disp_bf16, stem_pack_u8
+        from ..ops.stem_pallas import stem_pack_wq
+        wq = stem_pack_wq(out_w)
+        ip = np.stack([stem_pack_u8(np.asarray(im), wq, hp=out_h, wp=out_w)
+                       for im in imgs_u8])
+        dp = np.stack([stem_pack_disp_bf16(np.asarray(d), wq, hp=out_h,
+                                           wp=out_w)
+                       for d in disps_u16])
+        return ip, dp.view(ml_dtypes.bfloat16)
+
+    def track_packed(self, imgs_u8, disps_u16, img_packs, disp_packs,
+                     frame_ids,
+                     scale_factor: Tuple[float, float] = (1.0, 1.0)
+                     ) -> FrameResult:
+        """``track_raw`` with host-packed stem inputs (see ``pack_frames``):
+        the Focus stems evaluate via the pallas kernel — the production
+        serving path on TPU (~5x faster stems at 1080p)."""
+        from ..models.preprocessor import padded_shape
+        h, w = imgs_u8.shape[1], imgs_u8.shape[2]
+        oh, ow = padded_shape(h, w)
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P(self.stream_axis))
+            imgs_u8, disps_u16, img_packs, disp_packs = (
+                jax.device_put(x, sh)
+                for x in (imgs_u8, disps_u16, img_packs, disp_packs))
+        self.states, result = self._step_packed(
+            self.variables, self.states, imgs_u8, disps_u16, img_packs,
+            disp_packs, jnp.asarray(frame_ids, jnp.int32), out_h=oh,
+            out_w=ow, scale_factor=scale_factor)
+        return result
+
     def reset(self):
         self.states = init_stream_states(self.cfg, self.n_streams)
         if self.mesh is not None:
             self.states = jax.device_put(
                 self.states, NamedSharding(self.mesh, P(self.stream_axis)))
+
+    def track_packed_chunk(self, imgs_u8, disps_u16, img_packs, disp_packs,
+                           frame_ids,
+                           scale_factor: Tuple[float, float] = (1.0, 1.0)):
+        """``track_raw_chunk`` with host-packed stem inputs: T frames per
+        stream advance in ONE device program with the pallas Focus stems.
+        ``img_packs``: (T, S, HQ, 48, WQ) uint8; ``disp_packs``:
+        (T, S, HQ, 16, WQ) bf16 (see ``pack_frames``)."""
+        from ..models.preprocessor import padded_shape
+        h, w = imgs_u8.shape[2], imgs_u8.shape[3]
+        oh, ow = padded_shape(h, w)
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P(None, self.stream_axis))
+            imgs_u8, disps_u16, img_packs, disp_packs = (
+                jax.device_put(x, sh)
+                for x in (imgs_u8, disps_u16, img_packs, disp_packs))
+        if not hasattr(self, '_step_packed_chunk'):
+            def _chunk(variables, states, imgs, disps, ipacks, dpacks,
+                       fids, out_h, out_w, scale_factor):
+                fn = functools.partial(
+                    predict_frame_raw, variables, self.module,
+                    cfg=self.cfg, out_h=out_h, out_w=out_w,
+                    scale_factor=scale_factor)
+
+                def body(st, x):
+                    im, dp, ipk, dpk, fi = x
+                    return jax.vmap(fn)(st, im, dp, fi, img_pack=ipk,
+                                        disp_pack=dpk)
+
+                return jax.lax.scan(body, states,
+                                    (imgs, disps, ipacks, dpacks, fids))
+
+            self._step_packed_chunk = jax.jit(
+                _chunk, static_argnames=('out_h', 'out_w', 'scale_factor'))
+        self.states, results = self._step_packed_chunk(
+            self.variables, self.states, imgs_u8, disps_u16, img_packs,
+            disp_packs, jnp.asarray(frame_ids, jnp.int32), out_h=oh,
+            out_w=ow, scale_factor=scale_factor)
+        return results
 
     def track_raw_chunk(self, imgs_u8, disps_u16, frame_ids,
                         scale_factor: Tuple[float, float] = (1.0, 1.0)):
