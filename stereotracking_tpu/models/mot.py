@@ -16,7 +16,8 @@ from typing import Any, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.depth import disp_to_depth, extract_box_depths
+from ..ops.depth import (disp_to_depth, extract_box_depths,
+                         extract_box_depths_disp)
 from ..ops.gmc import GMCConfig, estimate_camera_motion, to_small_gray
 from ..structures.bbox import scale_bbox
 from . import tracker as trk
@@ -40,6 +41,12 @@ class MOTConfig(NamedTuple):
                                   # recomputes: ocsort_disparity.py:100-104)
     cmc: Optional[GMCConfig] = None   # camera-motion compensation (off in
                                       # the canonical config, tracker cmc=None)
+    disp_fixed_point: bool = True  # disparity honors the uint16/16
+                                   # fixed-point contract
+                                   # (loading_disparity.py:129-134), enabling
+                                   # the bit-identical integer-domain depth
+                                   # extraction (extract_box_depths_disp);
+                                   # set False for off-grid float disparity
 
 
 class FrameResult(NamedTuple):
@@ -74,7 +81,20 @@ def predict_frame(variables, module: YOLOXDetector,
     det = detector_predict(variables, module, inputs, scale_factor)
 
     disp = inputs['disp_postp'][0, :, :, 0]
-    depth_map = disp_to_depth(disp, cfg.baseline, cfg.focal_length)
+    if cfg.depth_mode == 'corner_guided' and cfg.disp_fixed_point:
+        # integer-domain extraction: bit-identical to
+        # extract_box_depths(disp_to_depth(disp), ...) under the fixed-point
+        # contract, ~2x faster, and the full-res metric depth map is never
+        # materialized (tests/test_depth.py pins the equivalence)
+        def extract(bxs, vld):
+            return extract_box_depths_disp(disp, bxs, vld, cfg.baseline,
+                                           cfg.focal_length, cfg.depth_crop)
+    else:
+        depth_map = disp_to_depth(disp, cfg.baseline, cfg.focal_length)
+
+        def extract(bxs, vld):
+            return extract_box_depths(depth_map, bxs, vld, cfg.depth_crop,
+                                      cfg.depth_mode)
 
     # per-detection depth + depth^2 scale, box inflation
     # (ocsort_disparity.py:113-130). Depth is only observable downstream for
@@ -83,9 +103,7 @@ def predict_frame(variables, module: YOLOXDetector,
     # so extracting for the first num_dets slots is exact and 5x cheaper
     # than the reference's all-300 loop.
     nd = cfg.tracker.num_dets
-    d_vals, scales = extract_box_depths(depth_map, det.boxes[:nd],
-                                        det.valid[:nd], cfg.depth_crop,
-                                        cfg.depth_mode)
+    d_vals, scales = extract(det.boxes[:nd], det.valid[:nd])
     scaled_boxes = scale_bbox(det.boxes[:nd], scales)
 
     dets = trk.Detections(
@@ -100,8 +118,7 @@ def predict_frame(variables, module: YOLOXDetector,
     if cfg.reuse_det_depth:
         track_depths = out.depths
     else:
-        track_depths, _ = extract_box_depths(depth_map, unscaled, out.valid,
-                                             cfg.depth_crop, cfg.depth_mode)
+        track_depths, _ = extract(unscaled, out.valid)
     if 'depth_postp' in inputs:
         gt_map = inputs['depth_postp'][0, :, :, 0]
         gt_depths, _ = extract_box_depths(gt_map, unscaled, out.valid,

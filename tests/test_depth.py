@@ -115,3 +115,58 @@ def test_scale_saturates_at_3_for_distant_objects():
         depth, np.array([[10, 10, 50, 50]], np.float32), np.ones(1, bool))
     assert abs(float(d[0]) - 50.0) < 0.1
     assert float(s[0]) == 3.0
+
+
+# ---------------------------------------------------------------------------
+# integer-domain (disparity) extraction: must be BIT-identical to the float
+# chain disp_to_depth -> extract_box_depths under the uint16/16 fixed-point
+# contract (ops/depth.py extract_box_depths_disp)
+# ---------------------------------------------------------------------------
+
+from stereotracking_tpu.ops.depth import extract_box_depths_disp  # noqa: E402
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2, 3])
+def test_disp_domain_bit_identical(seed):
+    disp, boxes = synthetic_scene(seed)
+    rng = np.random.RandomState(seed + 17)
+    jit_boxes = boxes + rng.uniform(-8, 8, boxes.shape).astype(np.float32)
+    # include pathological boxes: edge-clipped, negative, huge, tiny, and
+    # boxes protruding past the padded image (pyramid pad-region corners)
+    extra = np.array([
+        [-10, 50, 30, 90],
+        [0, 0, 40, 30],
+        [900, 50, 950, 90],
+        [100, 300, 980, 340],
+        [50, 200, 52, 202],
+        [600, 330, 700, 420],   # bottom-right overhang
+        [630, 10, 660, 40],
+    ], np.float32)
+    all_boxes = np.concatenate([jit_boxes, extra]).astype(np.float32)
+    valid = np.ones(len(all_boxes), bool)
+    valid[3] = False
+
+    depth = np.asarray(disp_to_depth(disp, BASELINE, FOCAL))
+    exp_d, exp_s = extract_box_depths(depth, all_boxes, valid, crop=96)
+    got_d, got_s = extract_box_depths_disp(disp, all_boxes, valid,
+                                           BASELINE, FOCAL, crop=96)
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(exp_d))
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(exp_s))
+
+
+def test_disp_domain_bit_identical_dense_random():
+    """Random fixed-point disparity (every raw value possible), random boxes."""
+    rng = np.random.RandomState(99)
+    raw = rng.randint(0, 65536, (160, 224)).astype(np.uint16)
+    raw[rng.rand(160, 224) < 0.3] = 0            # invalid holes
+    disp = (raw.astype(np.float32) / 16.0)
+    boxes = rng.uniform(-20, 240, (40, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + rng.uniform(1, 120, (40, 2))
+    valid = rng.rand(40) > 0.2
+
+    depth = np.asarray(disp_to_depth(disp, BASELINE, FOCAL))
+    exp_d, exp_s = extract_box_depths(depth, boxes, valid, crop=64)
+    got_d, got_s = extract_box_depths_disp(disp, boxes, valid,
+                                           BASELINE, FOCAL, crop=64)
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(exp_d))
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(exp_s))
