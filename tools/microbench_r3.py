@@ -31,7 +31,8 @@ def main():
     from stereotracking_tpu.models.mot import MOTConfig, predict_frame_raw
     from stereotracking_tpu.models.preprocessor import padded_shape
     from stereotracking_tpu.ops.depth import (disp_to_depth,
-                                              extract_box_depths)
+                                              extract_box_depths,
+                                              extract_box_depths_disp)
     from stereotracking_tpu.ops.stem_pallas import pallas_stem_outputs
     from stereotracking_tpu.parallel.multistream import MultiStreamTracker
 
@@ -101,16 +102,28 @@ def main():
     report['bb_s1_ms_approx'] = timed_scan(bb_from((1,)), (so, dso),
                                            perturb=(0, 1)) * 1e3
 
-    # 4) disparity -> depth map + pyramid + per-box extraction (production
-    #    shape: ONE call, num_dets boxes, valid-prefix half full)
+    # 4) per-box depth extraction, production formulation (mot.py:84-91):
+    #    integer-domain corner_guided bisection straight on the padded
+    #    uint16 disparity, ONE call, num_dets boxes, valid-prefix half full
     nd = cfg.tracker.num_dets
     boxes = jnp.asarray(rng.uniform(0, 900, (n_streams, nd, 4)).astype(
         np.float32))
     boxes = boxes.at[..., 2:].set(boxes[..., :2] + 48.0)
     bvalid = jnp.arange(nd)[None, :] < (nd // 2)
     bvalid = jnp.broadcast_to(bvalid, (n_streams, nd))
+    disps_pad = jnp.pad(disps, ((0, 0), (0, oh - h), (0, ow - w)))
 
-    def depth_path(disps, boxes):
+    def depth_path(disps_pad, boxes):
+        def one(d_u16, bx, bv):
+            return extract_box_depths_disp(d_u16, bx, bv, cfg.baseline,
+                                           cfg.focal_length, cfg.depth_crop)
+        return jax.vmap(one)(disps_pad, boxes, bvalid)
+
+    report['depth_path_ms'] = timed_scan(depth_path, (disps_pad, boxes),
+                                         perturb=(0, 1)) * 1e3
+
+    # 4b) the superseded float-domain formulation, kept for the record
+    def depth_path_f32(disps, boxes):
         def one(d_u16, bx, bv):
             disp = jnp.where(d_u16 == 65535, 0, d_u16).astype(
                 jnp.float32) / 16.0
@@ -120,8 +133,8 @@ def main():
                                       cfg.depth_mode)
         return jax.vmap(one)(disps, boxes, bvalid)
 
-    report['depth_path_ms'] = timed_scan(depth_path, (disps, boxes),
-                                         perturb=(0, 1)) * 1e3
+    report['depth_path_f32_ms'] = timed_scan(depth_path_f32, (disps, boxes),
+                                             perturb=(0, 1)) * 1e3
 
     # 5) tracker step alone
     dets = trk.Detections(
