@@ -102,6 +102,11 @@ def main():
     quant = os.environ.get('BENCH_QUANT')  # '' | 'int8' | 'sim8'
     if quant:
         cfg = cfg._replace(detector=cfg.detector._replace(quant=quant))
+    # fused pallas depth extraction (ops/depth_pallas.py): default on
+    # accelerator; BENCH_DEPTH=xla reverts to the XLA formulation
+    depth_mode = os.environ.get('BENCH_DEPTH',
+                                'pallas' if on_accel else 'xla')
+    cfg = cfg._replace(depth_backend=depth_mode)
     ms = MultiStreamTracker(cfg, n_streams=n_streams,
                             dtype=jnp.bfloat16, input_shape=(oh, ow))
 

@@ -47,6 +47,11 @@ class MOTConfig(NamedTuple):
                                    # the bit-identical integer-domain depth
                                    # extraction (extract_box_depths_disp);
                                    # set False for off-grid float disparity
+    depth_backend: str = 'xla'     # 'pallas' = fused TPU kernel for the
+                                   # corner-guided fixed-point extraction
+                                   # (ops/depth_pallas.py; ~2x the XLA slice
+                                   # on v5e, integer outputs bit-identical,
+                                   # f32 sums within reassociation ULPs)
 
 
 class FrameResult(NamedTuple):
@@ -86,9 +91,18 @@ def predict_frame(variables, module: YOLOXDetector,
         # extract_box_depths(disp_to_depth(disp), ...) under the fixed-point
         # contract, ~2x faster, and the full-res metric depth map is never
         # materialized (tests/test_depth.py pins the equivalence)
-        def extract(bxs, vld):
-            return extract_box_depths_disp(disp, bxs, vld, cfg.baseline,
-                                           cfg.focal_length, cfg.depth_crop)
+        if cfg.depth_backend == 'pallas':
+            from ..ops.depth_pallas import extract_box_depths_disp_pallas
+
+            def extract(bxs, vld):
+                return extract_box_depths_disp_pallas(
+                    disp, bxs, vld, cfg.baseline, cfg.focal_length,
+                    cfg.depth_crop)
+        else:
+            def extract(bxs, vld):
+                return extract_box_depths_disp(disp, bxs, vld, cfg.baseline,
+                                               cfg.focal_length,
+                                               cfg.depth_crop)
     else:
         depth_map = disp_to_depth(disp, cfg.baseline, cfg.focal_length)
 
