@@ -87,7 +87,6 @@ def main():
         jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
 
-    from stereotracking_tpu.models.mot import MOTConfig
     from stereotracking_tpu.models.preprocessor import padded_shape
     from stereotracking_tpu.parallel.multistream import MultiStreamTracker
 
@@ -98,15 +97,19 @@ def main():
     n_steps = 30 if on_accel else 3
     oh, ow = padded_shape(h, w)
 
-    cfg = MOTConfig()
+    # the bench runs the same config surface users do (VERDICT r3 #1): the
+    # serving kernels are selected by the model dict's stem_backend /
+    # depth_backend keys ('auto' = pallas on real TPU, as in the flagship
+    # config); BENCH_DEPTH/BENCH_STEM=xla revert for A/B runs
+    from stereotracking_tpu.apis.builder import build_mot_config
+    cfg = build_mot_config({
+        'type': 'OCSORT_Disparity',
+        'depth_backend': os.environ.get('BENCH_DEPTH', 'auto'),
+        'stem_backend': os.environ.get('BENCH_STEM', 'auto'),
+    })
     quant = os.environ.get('BENCH_QUANT')  # '' | 'int8' | 'sim8'
     if quant:
         cfg = cfg._replace(detector=cfg.detector._replace(quant=quant))
-    # fused pallas depth extraction (ops/depth_pallas.py): default on
-    # accelerator; BENCH_DEPTH=xla reverts to the XLA formulation
-    depth_mode = os.environ.get('BENCH_DEPTH',
-                                'pallas' if on_accel else 'xla')
-    cfg = cfg._replace(depth_backend=depth_mode)
     ms = MultiStreamTracker(cfg, n_streams=n_streams,
                             dtype=jnp.bfloat16, input_shape=(oh, ow))
 
@@ -116,7 +119,7 @@ def main():
     # stages the host-packed stem layout (csrc/stem_pack.cpp — the data
     # loader's layout step, like the reference's host-side mmcv pipeline);
     # host pack throughput is reported separately as pack_ms_per_pair.
-    stem_mode = os.environ.get('BENCH_STEM', 'pallas' if on_accel else 'xla')
+    stem_mode = cfg.stem_backend
     staged = []
     pack_ms = None
     for t in range(4):

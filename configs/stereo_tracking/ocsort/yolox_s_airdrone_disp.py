@@ -25,6 +25,14 @@ model = dict(
     type='OCSORT_Disparity',
     baseline=0.25,
     focal_length=640,
+    # parity protocol: re-extract depth on the un-inflated box exactly like
+    # the reference (ocsort_disparity.py:100-104) instead of reusing the
+    # pre-inflation detection depth
+    reuse_det_depth=False,
+    # production serving kernels: host-packed pallas Focus stems +
+    # fused pallas depth extraction on real TPU, XLA elsewhere
+    stem_backend='auto',
+    depth_backend='auto',
     detector=dict(
         type='YOLODetector_Disparity_V1',
         backbone=dict(type='YOLOXCSPDarknet_Disparity_V1_MMYOLO',

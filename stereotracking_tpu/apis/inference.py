@@ -105,14 +105,23 @@ def inference_mot(model: OCSORTDisparity, img: np.ndarray,
     h, w = sample['img'].shape[:2]
     oh, ow = padded_shape(h, w)
     disp_fixed = (sample['disp_postp'] * 16.0).astype(np.uint16)
-    disp_fixed = np.where(sample['disp_mask'] > 0, disp_fixed, 65535)
-    inputs = preprocess_frame(
-        jnp.asarray(sample['img']), jnp.asarray(disp_fixed.astype(np.uint16)),
-        oh, ow,
-        depth_raw=None if depth is None else
-        jnp.asarray(sample['depth_postp']))
-
-    res: FrameResult = model.track(inputs, frame_id, scale_factor=sf)
+    disp_fixed = np.where(sample['disp_mask'] > 0, disp_fixed,
+                          np.uint16(65535)).astype(np.uint16)
+    if getattr(model.cfg, 'stem_backend', 'xla') == 'pallas':
+        # production serving path: raw-frame program with host-packed
+        # pallas Focus stems (config key model.stem_backend)
+        img_u8 = np.clip(np.rint(np.asarray(sample['img'], np.float32)),
+                         0, 255).astype(np.uint8)
+        res: FrameResult = model.track_raw(
+            img_u8, disp_fixed, frame_id, scale_factor=sf,
+            depth_raw=None if depth is None else sample['depth_postp'])
+    else:
+        inputs = preprocess_frame(
+            jnp.asarray(sample['img']), jnp.asarray(disp_fixed),
+            oh, ow,
+            depth_raw=None if depth is None else
+            jnp.asarray(sample['depth_postp']))
+        res = model.track(inputs, frame_id, scale_factor=sf)
     dv = np.asarray(res.det_valid)
     tv = np.asarray(res.track_valid)
     return dict(

