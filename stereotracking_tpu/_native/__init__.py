@@ -116,6 +116,11 @@ def _load_stem() -> Optional[ctypes.CDLL]:
         lib.stem_pack_u8.argtypes = [u8] + [ctypes.c_int] * 6 + [u8]
         lib.stem_pack_disp_bf16.restype = None
         lib.stem_pack_disp_bf16.argtypes = [u16] + [ctypes.c_int] * 5 + [u16]
+        lib.stem_pack_u8_batch.restype = None
+        lib.stem_pack_u8_batch.argtypes = [u8] + [ctypes.c_int] * 7 + [u8]
+        lib.stem_pack_disp_bf16_batch.restype = None
+        lib.stem_pack_disp_bf16_batch.argtypes = \
+            [u16] + [ctypes.c_int] * 6 + [u16]
         _stem_lib = lib
     except OSError:
         _stem_lib = None
@@ -164,5 +169,45 @@ def stem_pack_disp_bf16(disp: np.ndarray, wq: int, hp: int = None,
     out = np.empty((hp // 4 + 1, 16, wq), np.uint16)
     lib.stem_pack_disp_bf16(
         disp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), h, w,
+        hp, wp, wq, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    return out
+
+
+def stem_pack_u8_batch(imgs: np.ndarray, wq: int, hp: int = None,
+                       wp: int = None, out: np.ndarray = None) -> np.ndarray:
+    """(S, H, W, C) uint8 -> (S, HP/4+1, 16C, WQ) packed stem layout in one
+    native call (whole stream batch; no per-frame python round trips).
+    ``out``: optional preallocated destination (reused across steps by the
+    pipelined server so packing never allocates)."""
+    s, h, w, c = imgs.shape
+    hp, wp = hp or h, wp or w
+    lib = _load_stem()
+    if lib is None:
+        return np.stack([stem_pack_u8(imgs[i], wq, hp, wp)
+                         for i in range(s)])
+    imgs = np.ascontiguousarray(imgs, np.uint8)
+    if out is None:
+        out = np.empty((s, hp // 4 + 1, 16 * c, wq), np.uint8)
+    lib.stem_pack_u8_batch(
+        imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), s, h, w, c,
+        hp, wp, wq, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
+
+
+def stem_pack_disp_bf16_batch(disps: np.ndarray, wq: int, hp: int = None,
+                              wp: int = None,
+                              out: np.ndarray = None) -> np.ndarray:
+    """(S, H, W) uint16 -> (S, HP/4+1, 16, WQ) packed bf16 bit patterns."""
+    s, h, w = disps.shape
+    hp, wp = hp or h, wp or w
+    lib = _load_stem()
+    if lib is None:
+        return np.stack([stem_pack_disp_bf16(disps[i], wq, hp, wp)
+                         for i in range(s)])
+    disps = np.ascontiguousarray(disps, np.uint16)
+    if out is None:
+        out = np.empty((s, hp // 4 + 1, 16, wq), np.uint16)
+    lib.stem_pack_disp_bf16_batch(
+        disps.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), s, h, w,
         hp, wp, wq, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
     return out

@@ -136,22 +136,25 @@ class MultiStreamTracker:
         return result
 
     @staticmethod
-    def pack_frames(imgs_u8, disps_u16, out_h: int, out_w: int):
+    def pack_frames(imgs_u8, disps_u16, out_h: int, out_w: int,
+                    out_img=None, out_disp=None):
         """Host-side stem-layout packing of a batch of raw frames (the
-        data-loader step of the pallas-stem serving path; C++ packer,
-        csrc/stem_pack.cpp).  Returns (img_packs uint8 (S, HQ, 48, WQ),
-        disp_packs bf16 (S, HQ, 16, WQ))."""
+        data-loader step of the pallas-stem serving path; C++ SIMD packer,
+        csrc/stem_pack.cpp, one native call per modality for the whole
+        batch).  Returns (img_packs uint8 (S, HQ, 48, WQ), disp_packs bf16
+        (S, HQ, 16, WQ)).  ``out_img``/``out_disp``: optional preallocated
+        destinations (uint8 / uint16 bit patterns) so a pipelined server
+        packs without allocating."""
         import ml_dtypes
         import numpy as np
 
-        from .._native import stem_pack_disp_bf16, stem_pack_u8
+        from .._native import stem_pack_disp_bf16_batch, stem_pack_u8_batch
         from ..ops.stem_pallas import stem_pack_wq
         wq = stem_pack_wq(out_w)
-        ip = np.stack([stem_pack_u8(np.asarray(im), wq, hp=out_h, wp=out_w)
-                       for im in imgs_u8])
-        dp = np.stack([stem_pack_disp_bf16(np.asarray(d), wq, hp=out_h,
-                                           wp=out_w)
-                       for d in disps_u16])
+        ip = stem_pack_u8_batch(np.asarray(imgs_u8), wq, hp=out_h, wp=out_w,
+                                out=out_img)
+        dp = stem_pack_disp_bf16_batch(np.asarray(disps_u16), wq, hp=out_h,
+                                       wp=out_w, out=out_disp)
         return ip, dp.view(ml_dtypes.bfloat16)
 
     def track_packed(self, imgs_u8, disps_u16, img_packs, disp_packs,

@@ -1,0 +1,1 @@
+"""CLI tools (installable as stereotracking_tpu.tools.*)."""

@@ -11,7 +11,10 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if __name__ == '__main__' and not __package__:
+    # repo-script fallback; a `pip install -e .` makes this a no-op
+    sys.path.insert(0, os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
 
 from perf_breakdown import timed_scan  # noqa: E402
 

@@ -17,7 +17,10 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if __name__ == '__main__' and not __package__:
+    # repo-script fallback; a `pip install -e .` makes this a no-op
+    sys.path.insert(0, os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed_scan(fn, args, n_iter=20, perturb=None):

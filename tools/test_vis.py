@@ -19,8 +19,10 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+if __name__ == '__main__' and not __package__:
+    # repo-script fallback; a `pip install -e .` makes this a no-op
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 
 
 def parse_args():

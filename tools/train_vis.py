@@ -15,8 +15,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
+if __name__ == '__main__' and not __package__:
+    # repo-script fallback; a `pip install -e .` makes this a no-op
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 
 
 def parse_args():
