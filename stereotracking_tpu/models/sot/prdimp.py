@@ -24,9 +24,9 @@ PrRoIPool is evaluated EXACTLY via the closed-form separable
 hat-integral pooling in ``ops/prroi_pool.py`` (the analytic integral of
 the bilinear surface — same semantics as the reference CUDA kernel,
 differentiable in the roi coordinates for the IoUNet refinement).
-Known deviation (cited, capability-equivalent): the first-frame
-augmentation set drops the rotation transform (the rest — identity, relative shifts, horizontal flip,
-Gaussian blurs, dropout — is implemented).
+The first-frame augmentation set is complete: identity, relative shifts,
+horizontal flip, Gaussian blurs, rotations (mmcv.imrotate semantics,
+``_imrotate``) and feature dropout (prdimp.py:143-219).
 """
 from __future__ import annotations
 
@@ -58,6 +58,7 @@ class PrDiMPTestCfg(NamedTuple):
         (0.6, 0.6), (-0.6, 0.6), (0.6, -0.6), (-0.6, -0.6))
     blur_sigmas: Tuple[Tuple[float, float], ...] = ((2, 0.2), (0.2, 2),
                                                     (3, 1), (1, 3), (2, 2))
+    rotate_angles: Tuple[float, ...] = (10., -10., 45., -45.)
     dropout_probs: Tuple[float, ...] = (0.2, 0.2)
     # locate_cfg
     no_target_min_score: float = 0.04
@@ -585,9 +586,9 @@ class PrDiMPTracker:
         resize_factor = jnp.sqrt(coord[2] * coord[3]) / aug_size
         init_bbox = self._gen_bbox(bbox, jnp.round(bbox[:2]), resize_factor)
 
-        # augmentations (prdimp.py:143-219; rotation omitted — see module
-        # docstring). Center-crop the expanded patch to sample_size with
-        # shifts.
+        # augmentations (prdimp.py:143-219: relative shifts, flip, blurs,
+        # rotations, feature dropout). Center-crop the expanded patch to
+        # sample_size with shifts.
         rng = np.random.RandomState(seed)
         s = cfg.img_sample_size
         off = (aug_size - s) // 2
@@ -617,6 +618,12 @@ class PrDiMPTracker:
             blurred = _gauss_blur(patch, sig)
             sh = tuple(int(v) for v in rand_shift())
             patches.append(shift_crop(blurred, sh))
+            bboxes.append(init_bbox + jnp.asarray(
+                [sh[0], sh[1], 0, 0], jnp.float32))
+        for ang in cfg.rotate_angles:
+            rotated = _imrotate(patch, ang)
+            sh = tuple(int(v) for v in rand_shift())
+            patches.append(shift_crop(rotated, sh))
             bboxes.append(init_bbox + jnp.asarray(
                 [sh[0], sh[1], 0, 0], jnp.float32))
 
@@ -822,6 +829,39 @@ def _gauss_blur(img: jnp.ndarray, sigma: Tuple[float, float]) -> jnp.ndarray:
             padding=pad, feature_group_count=c,
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'))[0]
     return out
+
+
+def _imrotate(img: jnp.ndarray, angle: float) -> jnp.ndarray:
+    """``mmcv.imrotate(img, angle, border_mode='replicate')`` semantics
+    (reference first-frame rotation aug, prdimp.py:197-211): rotate about
+    the pixel center ((w-1)/2, (h-1)/2), positive angle clockwise
+    (mmcv negates before cv2.getRotationMatrix2D), bilinear sampling with
+    edge replication, same output size.  A/B'd against the actual
+    cv2.warpAffine chain in tests/test_prdimp_rotation.py."""
+    h, w = img.shape[:2]
+    cx, cy = (w - 1) * 0.5, (h - 1) * 0.5
+    # forward matrix M = getRotationMatrix2D(center, -angle, 1); warpAffine
+    # samples src at M^-1 @ dst.  For a pure rotation the inverse is the
+    # transpose of the rotation part about the same center.
+    a = math.radians(-angle)
+    ca, sa = math.cos(a), math.sin(a)
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing='ij')
+    dx, dy = xs - cx, ys - cy
+    sx = ca * dx - sa * dy + cx     # inverse rotation (transpose)
+    sy = sa * dx + ca * dy + cy
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx, fy = sx - x0, sy - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    fx, fy = fx[..., None], fy[..., None]
+    v00, v01 = img[y0i, x0i], img[y0i, x1i]
+    v10, v11 = img[y1i, x0i], img[y1i, x1i]
+    return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+            + fy * ((1 - fx) * v10 + fx * v11))
 
 
 # ---------------------------------------------------------------------------
