@@ -106,6 +106,7 @@ def main():
         'type': 'OCSORT_Disparity',
         'depth_backend': os.environ.get('BENCH_DEPTH', 'auto'),
         'stem_backend': os.environ.get('BENCH_STEM', 'auto'),
+        'stage1_backend': os.environ.get('BENCH_STAGE1', 'auto'),
     })
     quant = os.environ.get('BENCH_QUANT')  # '' | 'int8' | 'sim8'
     if quant:

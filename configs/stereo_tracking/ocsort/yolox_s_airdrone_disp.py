@@ -33,6 +33,7 @@ model = dict(
     # fused pallas depth extraction on real TPU, XLA elsewhere
     stem_backend='auto',
     depth_backend='auto',
+    stage1_backend='auto',
     detector=dict(
         type='YOLODetector_Disparity_V1',
         backbone=dict(type='YOLOXCSPDarknet_Disparity_V1_MMYOLO',

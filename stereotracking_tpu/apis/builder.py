@@ -98,6 +98,8 @@ def build_mot_config(model_cfg: Dict[str, Any]) -> MOTConfig:
         # kernel, reachable via the raw-frame entry points.
         depth_backend=_resolve_backend(model_cfg.get('depth_backend', 'xla')),
         stem_backend=_resolve_backend(model_cfg.get('stem_backend', 'xla')),
+        stage1_backend=_resolve_backend(
+            model_cfg.get('stage1_backend', 'xla')),
     )
 
 

@@ -145,6 +145,22 @@ class CSPDarknetDual(nn.Module):
         q = None if train else self.quant   # int8 is an inference mode
         wf, df = self.widen_factor, self.deepen_factor
         outs = []
+        if 'stage1_out' in x:
+            # the whole dual stage 1 (both stems' stage-1 + average) was
+            # evaluated by the fused pallas kernel (ops/stage1_pallas.py)
+            # from the SAME canonical parameters; resume at stage 2 in the
+            # W-folded layout.  Init must use raw inputs so the parameter
+            # tree stays complete.
+            assert 1 not in self.out_indices and not self.out_fd
+            y = x['stage1_out'][None].astype(self.dtype)
+            for i in range(1, 4):
+                _, out_ch, n, ident, spp = P5_ARCH[i]
+                y = _Stage(widen(out_ch, wf), make_round(n, df), ident, spp,
+                           self.spp_kernel_sizes, dtype=self.dtype, quant=q,
+                           name=f'stage{i + 1}')(y, train, fold_in=i == 1)
+                if i + 1 in self.out_indices:
+                    outs.append(y)
+            return tuple(outs)
         if 'stem_out' in x:
             # stem activations precomputed by the pallas Focus kernel
             # (ops/stem_pallas.py) from host-packed frames — already in the

@@ -72,6 +72,7 @@ class YOLOXDetector(nn.Module):
 
 def detector_predict(variables, module: YOLOXDetector, inputs: dict,
                      scale_factor: Tuple[float, float] = (1.0, 1.0),
+                     stage1_backend: str = 'xla',
                      ) -> NMSResult:
     """Single-image predict: forward + decode + NMS + rescale.
 
@@ -86,12 +87,24 @@ def detector_predict(variables, module: YOLOXDetector, inputs: dict,
         # activations to the backbone (same canonical parameters)
         from ..ops.stem_pallas import pallas_stem_outputs
         wout = inputs['disp_postp'].shape[2] // 4
+        interp = jax.default_backend() != 'tpu'
         so, dso = pallas_stem_outputs(
             variables['params']['backbone'],
             variables['batch_stats']['backbone'],
             inputs['img_stem_pack'], inputs['disp_stem_pack'], wout,
-            interpret=jax.default_backend() != 'tpu')
-        inputs = {**inputs, 'stem_out': so, 'disp_stem_out': dso}
+            interpret=interp)
+        if stage1_backend == 'pallas':
+            # fused dual stage 1 (ops/stage1_pallas.py): stems' s2d(2)
+            # activations -> W-folded stage-1 output, whole CSP chain in
+            # VMEM; the backbone resumes at stage 2 (fold_in)
+            from ..ops.stage1_pallas import pallas_stage1_out
+            y1 = pallas_stage1_out(
+                variables['params']['backbone'],
+                variables['batch_stats']['backbone'], so, dso,
+                interpret=interp)
+            inputs = {**inputs, 'stage1_out': y1}
+        else:
+            inputs = {**inputs, 'stem_out': so, 'disp_stem_out': dso}
     cls, reg, obj = module.apply(variables, inputs, train=False)
     boxes, scores = decode_predictions(cls, reg, obj, cfg.strides)
     boxes, scores = boxes[0], scores[0]          # batch of 1

@@ -61,6 +61,14 @@ class MOTConfig(NamedTuple):
                                    # MultiStreamTracker, tools/test.py,
                                    # inference_mot); equal up to bf16 stem
                                    # rounding (tests/test_stem_pallas.py)
+    stage1_backend: str = 'xla'    # 'pallas' = fused dual stage-1 kernel
+                                   # (ops/stage1_pallas.py): entry conv +
+                                   # CSP chain + branch average in one VMEM
+                                   # pass from the pallas stems' outputs.
+                                   # Requires stem_backend='pallas' (it
+                                   # consumes the packed-stem activations);
+                                   # equal up to bf16 rounding
+                                   # (tests/test_stage1_pallas.py)
 
 
 class FrameResult(NamedTuple):
@@ -92,7 +100,8 @@ def predict_frame(variables, module: YOLOXDetector,
     ``inputs``: dict of NHWC tensors from ``preprocess_frame`` ('img',
     'disp_postp', 'disp_mask', optional 'depth_postp').
     """
-    det = detector_predict(variables, module, inputs, scale_factor)
+    det = detector_predict(variables, module, inputs, scale_factor,
+                           stage1_backend=cfg.stage1_backend)
 
     disp = inputs['disp_postp'][0, :, :, 0]
     if cfg.depth_mode == 'corner_guided' and cfg.disp_fixed_point:

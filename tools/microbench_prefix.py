@@ -93,6 +93,24 @@ def main():
     report['stage1_dual_ms'] = timed_scan(stage1_dual, (so, dso),
                                           perturb=(0, 1)) * 1e3
 
+    # fused pallas stage-1 kernel (ops/stage1_pallas.py); STTPU_BAND tunes
+    # the row-band size (VMEM working set vs recompute at band edges)
+    from stereotracking_tpu.ops.stage1_pallas import (stage1_dual_pallas,
+                                                      stage1_fused_weights)
+    band = int(os.environ.get('STTPU_BAND', '4'))
+    wts = stage1_fused_weights(bparams, bstats)
+
+    def stage1_fused(so, dso):
+        return jax.vmap(lambda a, b: stage1_dual_pallas(
+            a, b, wts, interpret=interp, band=band))(so, dso)
+
+    report['stage1_pallas_ms'] = timed_scan(stage1_fused, (so, dso),
+                                            perturb=(0, 1)) * 1e3
+    ref = np.asarray(stage1_dual(so, dso), np.float32)
+    fused = np.asarray(stage1_fused(so, dso), np.float32)
+    report['stage1_pallas_maxerr'] = float(
+        np.max(np.abs(ref - fused)) / (np.max(np.abs(ref)) + 1e-9))
+
     y1 = jnp.asarray(stage1_dual(so, dso))
 
     s2 = P5_ARCH[1]
