@@ -100,6 +100,8 @@ def build_mot_config(model_cfg: Dict[str, Any]) -> MOTConfig:
         stem_backend=_resolve_backend(model_cfg.get('stem_backend', 'xla')),
         stage1_backend=_resolve_backend(
             model_cfg.get('stage1_backend', 'xla')),
+        stage2_backend=_resolve_backend(
+            model_cfg.get('stage2_backend', 'xla')),
     )
 
 

@@ -145,6 +145,24 @@ class CSPDarknetDual(nn.Module):
         q = None if train else self.quant   # int8 is an inference mode
         wf, df = self.widen_factor, self.deepen_factor
         outs = []
+        if 'stage2_out' in x:
+            # stages 1 AND 2 were evaluated by the fused pallas kernels
+            # (ops/stage1_pallas.py + ops/stage2_pallas.py) from the SAME
+            # canonical parameters; the stage-2 activations arrive W-folded.
+            # The C3 neck tap unfolds with one reshape; stage 3 consumes the
+            # folded tensor directly (fold_consume entry conv).  Init must
+            # use raw inputs so the parameter tree stays complete.
+            assert self.out_indices == (2, 3, 4) and not self.out_fd
+            from ..ops.stage2_pallas import unfold_w
+            y = x['stage2_out'][None].astype(self.dtype)
+            outs.append(unfold_w(y))
+            for i in range(2, 4):
+                _, out_ch, n, ident, spp = P5_ARCH[i]
+                y = _Stage(widen(out_ch, wf), make_round(n, df), ident, spp,
+                           self.spp_kernel_sizes, dtype=self.dtype, quant=q,
+                           name=f'stage{i + 1}')(y, train, fold_in=i == 2)
+                outs.append(y)
+            return tuple(outs)
         if 'stage1_out' in x:
             # the whole dual stage 1 (both stems' stage-1 + average) was
             # evaluated by the fused pallas kernel (ops/stage1_pallas.py)

@@ -73,6 +73,7 @@ class YOLOXDetector(nn.Module):
 def detector_predict(variables, module: YOLOXDetector, inputs: dict,
                      scale_factor: Tuple[float, float] = (1.0, 1.0),
                      stage1_backend: str = 'xla',
+                     stage2_backend: str = 'xla',
                      ) -> NMSResult:
     """Single-image predict: forward + decode + NMS + rescale.
 
@@ -102,7 +103,18 @@ def detector_predict(variables, module: YOLOXDetector, inputs: dict,
                 variables['params']['backbone'],
                 variables['batch_stats']['backbone'], so, dso,
                 interpret=interp)
-            inputs = {**inputs, 'stage1_out': y1}
+            if stage2_backend == 'pallas':
+                # fused stage 2 (ops/stage2_pallas.py): entry conv + CSP
+                # chain in VMEM on the W-folded grid; the backbone resumes
+                # at stage 3 (fold_consume)
+                from ..ops.stage2_pallas import pallas_stage2_out
+                y2 = pallas_stage2_out(
+                    variables['params']['backbone'],
+                    variables['batch_stats']['backbone'], y1,
+                    interpret=interp)
+                inputs = {**inputs, 'stage2_out': y2}
+            else:
+                inputs = {**inputs, 'stage1_out': y1}
         else:
             inputs = {**inputs, 'stem_out': so, 'disp_stem_out': dso}
     cls, reg, obj = module.apply(variables, inputs, train=False)

@@ -69,6 +69,14 @@ class MOTConfig(NamedTuple):
                                    # consumes the packed-stem activations);
                                    # equal up to bf16 rounding
                                    # (tests/test_stage1_pallas.py)
+    stage2_backend: str = 'xla'    # 'pallas' = fused stage-2 kernel
+                                   # (ops/stage2_pallas.py): entry conv +
+                                   # CSP chain in one VMEM pass on the
+                                   # W-folded grid; stage 3 resumes on the
+                                   # folded tensor (fold_consume).  Requires
+                                   # stage1_backend='pallas'; equal up to
+                                   # bf16 rounding
+                                   # (tests/test_stage2_pallas.py)
 
 
 class FrameResult(NamedTuple):
@@ -101,7 +109,8 @@ def predict_frame(variables, module: YOLOXDetector,
     'disp_postp', 'disp_mask', optional 'depth_postp').
     """
     det = detector_predict(variables, module, inputs, scale_factor,
-                           stage1_backend=cfg.stage1_backend)
+                           stage1_backend=cfg.stage1_backend,
+                           stage2_backend=cfg.stage2_backend)
 
     disp = inputs['disp_postp'][0, :, :, 0]
     if cfg.depth_mode == 'corner_guided' and cfg.disp_fixed_point:

@@ -25,6 +25,12 @@ kernels, re-split so each dot is dense):
   6 dense dots per band: for row taps gy in {0,1} and column sources
   {E[j], O[j], O[j-1]} (the five (u, kx) tap classes of the W-folded
   stride-2 conv partition exactly into these three shifted views).
+  The E/O split itself happens OUTSIDE the kernel as one XLA relayout:
+  Mosaic lowers an in-kernel sublane-stride-2 select to per-element
+  copies (73.2 ms vs 1.6 ms per 8-stream 1080p step, measured in
+  tools/probe_stage1_variants.py — vs 7.4 ms for the op-by-op XLA
+  stage).  Cell shifts are zero-fill concats (slice + concat beats a
+  f32-cast ``pltpu.roll`` ~6x here; Mosaic's rotate is 32-bit-only).
 - the two branches' 32-channel bottleneck convs are DUAL-STACKED: one
   (M, 128) tensor carries [rgb | disp] halves and block-diagonal kernels
   evaluate both branches per MXU pass (a lone 64-lane dot wastes half the
@@ -196,7 +202,23 @@ def _act(acc, sb):
     return (y * jax.nn.sigmoid(y)).astype(jnp.bfloat16)
 
 
-def _stage1_kernel(pre_r, main_r, post_r, pre_d, main_d, post_d,
+def _shift_down(x, n: int):
+    """out[i] = x[i - n], zero-filled at the top.  Static slice + concat:
+    Mosaic's rotate op (what ``pltpu.roll`` lowers to) only supports
+    32-bit element types, so bf16 row/cell shifts must avoid it; the
+    shifted-in rows are masked or sit in the halo margin anyway."""
+    return jnp.concatenate(
+        [jnp.zeros((n, x.shape[1]), x.dtype), x[:-n]], axis=0)
+
+
+def _shift_up(x, n: int):
+    """out[i] = x[i + n], zero-filled at the bottom (see _shift_down)."""
+    return jnp.concatenate(
+        [x[n:], jnp.zeros((n, x.shape[1]), x.dtype)], axis=0)
+
+
+def _stage1_kernel(pre_er, main_er, post_er, pre_or, main_or, post_or,
+                   pre_ed, main_ed, post_ed, pre_od, main_od, post_od,
                    wconv, wms, wc1, wc2, wfin,
                    sbconv, sbms, sbc1, sbc2, sbfin, out_ref,
                    *, B: int, W2: int, NB: int):
@@ -216,19 +238,24 @@ def _stage1_kernel(pre_r, main_r, post_r, pre_d, main_d, post_d,
     iota = jax.lax.broadcasted_iota(jnp.int32, ((B + 3) * W2, 1), 0)
     not_first_col = (iota % W2) != 0
 
-    def branch(pre, main, post, bi):
+    def edges(pre, main, post):
         # stem rows [B*j - 2, B*j + B + 1); rows beyond the image are the
         # entry conv's zero padding (the pre/post blocks arrive index-
         # clamped, so zero them explicitly at the edges of the grid).
-        x = jnp.concatenate([
+        return jnp.concatenate([
             jnp.where(j == 0, 0, pre[...]),
             main[...],
             jnp.where(j == NB - 1, 0, post[...]),
-        ], axis=0)
-        x = x.reshape((B + 3) * W2, 2, x.shape[-1])
-        e, o = x[:, 0, :], x[:, 1, :]                    # stride-2 cells
-        osh = jnp.where(not_first_col,
-                        pltpu.roll(o, shift=1, axis=0), 0)   # O[j-1], 0-pad
+        ], axis=0).reshape((B + 3) * W2, pre.shape[-1])
+
+    def branch(pre_e, main_e, post_e, pre_o, main_o, post_o, bi):
+        # even/odd stride-2 cells arrive PRE-SPLIT (the caller's XLA
+        # deinterleave): Mosaic lowers an in-kernel sublane-stride-2
+        # select catastrophically (73.2 ms vs 1.6 ms per 8-stream step,
+        # tools/probe_stage1_variants.py on v5e).
+        e = edges(pre_e, main_e, post_e)
+        o = edges(pre_o, main_o, post_o)
+        osh = jnp.where(not_first_col, _shift_down(o, 1), 0)  # O[j-1], 0-pad
         acc = jnp.zeros((M2, o2), f32)
         for gy in range(2):
             sl = slice(gy * W2, gy * W2 + M2)
@@ -240,8 +267,8 @@ def _stage1_kernel(pre_r, main_r, post_r, pre_d, main_d, post_d,
         return _act(jnp.dot(z, wms[bi], preferred_element_type=f32),
                     sbms[bi])
 
-    ms_r = branch(pre_r, main_r, post_r, 0)
-    ms_d = branch(pre_d, main_d, post_d, 1)
+    ms_r = branch(pre_er, main_er, post_er, pre_or, main_or, post_or, 0)
+    ms_d = branch(pre_ed, main_ed, post_ed, pre_od, main_od, post_od, 1)
 
     # dual-stacked bottleneck: [main_rgb | main_disp] through block-diagonal
     # conv1/conv2 — both branches' 64-lane convs share each MXU pass.
@@ -251,10 +278,8 @@ def _stage1_kernel(pre_r, main_r, post_r, pre_d, main_d, post_d,
     edge = (((j == 0) & (rowid < W2))
             | ((j == NB - 1) & (rowid >= (B + 1) * W2)))
     c1 = jnp.where(edge, 0, c1)                  # conv2's SAME zero rows
-    c1p = jnp.where((rowid % W2) != 0,
-                    pltpu.roll(c1, shift=1, axis=0), 0)
-    c1m = jnp.where((rowid % W2) != W2 - 1,
-                    pltpu.roll(c1, shift=M2 - 1, axis=0), 0)
+    c1p = jnp.where((rowid % W2) != 0, _shift_down(c1, 1), 0)
+    c1m = jnp.where((rowid % W2) != W2 - 1, _shift_up(c1, 1), 0)
     srcs = (c1p, c1, c1m)                        # folded col taps j-1, j, j+1
     acc2 = jnp.zeros((M3, m4), f32)
     for ky in range(3):
@@ -292,14 +317,25 @@ def stage1_dual_pallas(stem_rgb: jnp.ndarray, stem_dsp: jnp.ndarray,
     o2 = wts.conv.shape[-1]
     bf16 = jnp.bfloat16
 
-    def xspecs():
+    # split even/odd stride-2 cells OUTSIDE the kernel: one cheap XLA
+    # relayout per branch instead of a Mosaic sublane-stride-2 select per
+    # band (73.2 -> 1.6 ms per 8-stream 1080p step on v5e, bit-identical —
+    # tools/probe_stage1_variants.py)
+    def deint(x):
+        v = x.reshape(H4, W2, 2, x.shape[-1])
+        return v[:, :, 0], v[:, :, 1]
+
+    e_r, o_r = deint(stem_rgb)
+    e_d, o_d = deint(stem_dsp)
+
+    def xspecs(shape):
         return [
-            pl.BlockSpec((2,) + stem_rgb.shape[1:],
+            pl.BlockSpec((2,) + shape[1:],
                          lambda jj: (jnp.maximum(jj * (B // 2) - 1, 0), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B,) + stem_rgb.shape[1:],
+            pl.BlockSpec((B,) + shape[1:],
                          lambda jj: (jj, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,) + stem_rgb.shape[1:],
+            pl.BlockSpec((1,) + shape[1:],
                          lambda jj: (jnp.minimum(jj * B + B, H4 - 1), 0, 0),
                          memory_space=pltpu.VMEM),
         ]
@@ -309,12 +345,18 @@ def stage1_dual_pallas(stem_rgb: jnp.ndarray, stem_dsp: jnp.ndarray,
     return pl.pallas_call(
         kern,
         grid=(NB,),
-        in_specs=xspecs() + xspecs() + wspecs,
+        in_specs=(xspecs(e_r.shape) + xspecs(o_r.shape)
+                  + xspecs(e_d.shape) + xspecs(o_d.shape) + wspecs),
         out_specs=pl.BlockSpec((B, W2, o2), lambda jj: (jj, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H4, W2, o2), bf16),
         interpret=interpret,
-    )(stem_rgb, stem_rgb, stem_rgb, stem_dsp, stem_dsp, stem_dsp,
+        # the per-band chain holds ~30 live (M2, 128)-scale temporaries
+        # (concat-shift copies, f32 accumulators); Mosaic's default 16 MiB
+        # scoped-vmem stack is too small at 1080p bands — v5e has 128 MiB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(e_r, e_r, e_r, o_r, o_r, o_r, e_d, e_d, e_d, o_d, o_d, o_d,
       wts.conv.astype(bf16), wts.ms.astype(bf16), wts.c1.astype(bf16),
       wts.c2.astype(bf16), wts.fin.astype(bf16),
       wts.conv_sb, wts.ms_sb, wts.c1_sb, wts.c2_sb, wts.fin_sb)

@@ -123,6 +123,23 @@ def main():
 
     report['stage2_ms'] = timed_scan(stage2, (y1,), perturb=0) * 1e3
 
+    # fused pallas stage-2 kernel (ops/stage2_pallas.py): folded in/out
+    from stereotracking_tpu.ops.stage2_pallas import (stage2_fold_pallas,
+                                                      stage2_fused_weights,
+                                                      unfold_w)
+    wts2 = stage2_fused_weights(bparams, bstats)
+
+    def stage2_fused(y):
+        return jax.vmap(lambda x: stage2_fold_pallas(
+            x, wts2, interpret=interp, band=band))(y)
+
+    report['stage2_pallas_ms'] = timed_scan(stage2_fused, (y1,),
+                                            perturb=0) * 1e3
+    ref2 = np.asarray(stage2(y1), np.float32)
+    fused2 = np.asarray(unfold_w(stage2_fused(y1)), np.float32)
+    report['stage2_pallas_maxerr'] = float(
+        np.max(np.abs(ref2 - fused2)) / (np.max(np.abs(ref2)) + 1e-9))
+
     # stages from stem_out through the real backbone (packed-path graph)
     bb = CSPDarknetDual(df, wf, dtype=dtype)
     bv = {'params': bparams, 'batch_stats': bstats}
