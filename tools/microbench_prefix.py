@@ -128,10 +128,11 @@ def main():
                                                       stage2_fused_weights,
                                                       unfold_w)
     wts2 = stage2_fused_weights(bparams, bstats)
+    band2 = int(os.environ.get('STTPU_BAND2', '4'))
 
     def stage2_fused(y):
         return jax.vmap(lambda x: stage2_fold_pallas(
-            x, wts2, interpret=interp, band=band))(y)
+            x, wts2, interpret=interp, band=band2))(y)
 
     report['stage2_pallas_ms'] = timed_scan(stage2_fused, (y1,),
                                             perturb=0) * 1e3
