@@ -653,12 +653,18 @@ class PrDiMPTracker:
             init_filter, cls_feats, aug_bboxes_all, weights,
             self.cfg.init_update_iters, cfg, lsl, freg)
 
+        # Memory holds at most sample_memory_size init samples; if the
+        # augmentation set is larger (small test configs), keep the first m
+        # the way the reference's init_memory slice assignment
+        # (prdimp_cls_head.py:176-177) would with a big-enough memory —
+        # rather than relying on config discipline.
         m = cfg.sample_memory_size
+        nm = min(n, m)
         memory = PrDiMPMemory(
-            jnp.zeros((m, *cls_feats.shape[1:])).at[:n].set(cls_feats),
-            jnp.zeros((m, 4)).at[:n].set(aug_bboxes_all),
-            jnp.zeros((m,)).at[:n].set(1.0 / n),
-            jnp.asarray(n), jnp.asarray(n), jnp.asarray(-1))
+            jnp.zeros((m, *cls_feats.shape[1:])).at[:nm].set(cls_feats[:nm]),
+            jnp.zeros((m, 4)).at[:nm].set(aug_bboxes_all[:nm]),
+            jnp.zeros((m,)).at[:nm].set(1.0 / nm),
+            jnp.asarray(nm), jnp.asarray(nm), jnp.asarray(-1))
 
         mod = self._apply(PrDiMPModule.iou_modulation, f3[:1], f4[:1],
                           xyxy[0])
