@@ -72,6 +72,29 @@ def _resolve_backend(val: str) -> str:
     return val
 
 
+def _resolve_stage_backends(model_cfg: Dict[str, Any]) -> Dict[str, str]:
+    """Resolve stem/stage1/stage2 backends enforcing the dependency chain
+    stage2=pallas -> stage1=pallas -> stem=pallas (each fused kernel consumes
+    the previous kernel's activation layout, models/detector.py:85-117).
+    An 'auto' request silently downgrades to 'xla' when its prerequisite is
+    off; an explicit 'pallas' without its prerequisite is a config error —
+    previously it was silently ignored (ADVICE r4)."""
+    raw = {k: model_cfg.get(k, 'xla')
+           for k in ('stem_backend', 'stage1_backend', 'stage2_backend')}
+    out = {k: _resolve_backend(v) for k, v in raw.items()}
+    for key, prereq in (('stage1_backend', 'stem_backend'),
+                        ('stage2_backend', 'stage1_backend')):
+        if out[key] == 'pallas' and out[prereq] != 'pallas':
+            if raw[key] == 'auto':
+                out[key] = 'xla'
+            else:
+                raise ValueError(
+                    f"{key}='pallas' requires {prereq}='pallas' (the fused "
+                    f"kernel consumes the previous kernel's activations); "
+                    f"got {prereq}={out[prereq]!r}")
+    return out
+
+
 def build_mot_config(model_cfg: Dict[str, Any]) -> MOTConfig:
     kind = _strip(model_cfg.get('type', 'OCSORT_Disparity'))
     assert kind in ('OCSORT_Disparity', 'OCSORT'), kind
@@ -97,11 +120,7 @@ def build_mot_config(model_cfg: Dict[str, Any]) -> MOTConfig:
         # outputs bit-identical to the XLA path); stem: host-packed Focus
         # kernel, reachable via the raw-frame entry points.
         depth_backend=_resolve_backend(model_cfg.get('depth_backend', 'xla')),
-        stem_backend=_resolve_backend(model_cfg.get('stem_backend', 'xla')),
-        stage1_backend=_resolve_backend(
-            model_cfg.get('stage1_backend', 'xla')),
-        stage2_backend=_resolve_backend(
-            model_cfg.get('stage2_backend', 'xla')),
+        **_resolve_stage_backends(model_cfg),
     )
 
 

@@ -152,7 +152,7 @@ class CSPDarknetDual(nn.Module):
             # The C3 neck tap unfolds with one reshape; stage 3 consumes the
             # folded tensor directly (fold_consume entry conv).  Init must
             # use raw inputs so the parameter tree stays complete.
-            assert self.out_indices == (2, 3, 4) and not self.out_fd
+            assert tuple(self.out_indices) == (2, 3, 4) and not self.out_fd
             from ..ops.stage2_pallas import unfold_w
             y = x['stage2_out'][None].astype(self.dtype)
             outs.append(unfold_w(y))

@@ -82,6 +82,12 @@ def detector_predict(variables, module: YOLOXDetector, inputs: dict,
     (mmdet ``rescale=True`` semantics).
     """
     cfg = module.cfg
+    if cfg.quant is not None:
+        # quantized inference lives in the XLA stage/neck modules; the fused
+        # pallas stage kernels compute bf16 from canonical params and would
+        # silently bypass quant (ADVICE r4) — resume the XLA path at stage 1
+        # so BENCH_QUANT / int8 configs measure what they claim.
+        stage1_backend = stage2_backend = 'xla'
     if 'img_stem_pack' in inputs:
         # host-packed frames: evaluate the Focus stems with the pallas
         # kernel (ops/stem_pallas.py) and hand the s2d(2)-layout

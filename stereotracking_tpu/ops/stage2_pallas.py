@@ -268,6 +268,13 @@ def stage2_fold_pallas(stage1_out: jnp.ndarray, wts: Stage2Weights,
     assert H8 % B == 0 and B >= nb + 1, \
         f'stage2 pallas kernel needs H/8 divisible by a band >= ' \
         f'num_blocks+1 (H8={H8}, band={band}, nb={nb})'
+    # bound the escalation: for awkward heights the divisor search could
+    # otherwise land on B=H8 (whole image in one band) and silently blow
+    # the per-band VMEM working set far past the requested size (ADVICE r4)
+    assert B <= 4 * max(band, nb + 1), \
+        f'stage2 pallas band search escalated {band} -> {B} (H8={H8} has ' \
+        f'no divisor in [{nb + 1}, {4 * max(band, nb + 1)}]); pad the ' \
+        f'input height to a friendlier multiple or use stage2_backend=xla'
     NB = H8 // B
     o2 = wts.entry.shape[-1]
     bf16 = jnp.bfloat16
