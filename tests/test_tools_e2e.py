@@ -131,3 +131,27 @@ def test_fast_path_metrics_equal(disk_dataset, tmp_path):
             continue
         assert m_xla.get(k) == m_pal.get(k), (k, m_xla.get(k), m_pal.get(k))
     assert txt_xla == txt_pal
+
+
+def test_tools_test_multistream_eval(disk_dataset, tmp_path):
+    """--streams N: the multistream batched eval loop (the serving
+    scale-out surface, VERDICT r4 #7) runs both videos concurrently,
+    including --stage-frames HBM staging, and produces the same
+    count-based metrics as the sequential loop."""
+    root, cfg_path = disk_dataset
+
+    def run(name, extra):
+        out = tmp_path / name
+        r = subprocess.run(
+            [sys.executable, str(REPO / 'tools' / 'test.py'), str(cfg_path),
+             '--work-dir', str(out), '--dump-txt'] + extra,
+            env=_env(), capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, r.stderr[-3000:]
+        return json.loads((out / 'metrics.json').read_text())
+
+    m_seq = run('seq', [])
+    m_ms = run('ms', ['--streams', '2', '--stage-frames'])
+    for k in set(m_seq) | set(m_ms):
+        if k == 'fps':
+            continue
+        assert m_seq.get(k) == m_ms.get(k), (k, m_seq.get(k), m_ms.get(k))

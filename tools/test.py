@@ -50,6 +50,18 @@ def parse_args():
                         'the GT/pred panel')
     p.add_argument('--bf16', action='store_true',
                    help='bfloat16 detector compute')
+    p.add_argument('--streams', type=int, default=1,
+                   help='evaluate N videos concurrently through the '
+                        'multistream batched program '
+                        '(parallel/multistream.py) — the serving scale-out '
+                        'surface; batches detector/depth/tracker across '
+                        'videos on one chip')
+    p.add_argument('--stage-frames', action='store_true',
+                   help='with --streams: pre-stage each video group\'s raw '
+                        'frames in device HBM before the timed loop (the '
+                        'production DMA-fed frame buffer analog) so the '
+                        'reported fps measures the serving surface, not '
+                        'this dev environment\'s host->device tunnel')
     p.add_argument('--launcher', choices=['none', 'jax'], default='none',
                    help="'jax': initialize jax.distributed (coordinator / "
                         'world size / rank from --dist-* or STTPU_* env), '
@@ -167,6 +179,14 @@ def main():
     # from this CLI, not only from bench.py
     use_raw = getattr(model.cfg, 'stem_backend', 'xla') == 'pallas'
 
+    if args.streams > 1:
+        n_frames, elapsed = _multistream_eval(
+            args, model, dataset, videos, scale, f, oh, ow, use_raw,
+            mot_metric, coco_metric, csv_dump, visualizer, logger)
+        _finish(args, world, rank, mot_metric, coco_metric, n_frames,
+                elapsed, logger)
+        return
+
     n_frames = 0
     t_start = time.perf_counter()
     for vid in videos:
@@ -243,6 +263,157 @@ def main():
             prefix='eval')
 
     elapsed = time.perf_counter() - t_start
+    _finish(args, world, rank, mot_metric, coco_metric, n_frames, elapsed,
+            logger)
+
+
+def _multistream_eval(args, model, dataset, videos, scale, f, oh, ow,
+                      use_raw, mot_metric, coco_metric, csv_dump,
+                      visualizer, logger):
+    """Evaluate N videos concurrently through the multistream batched
+    program (parallel/multistream.py) — the eval-loop scale-out surface.
+
+    Videos are grouped S at a time and stepped in lockstep; shorter videos
+    in a group replay their last frame with outputs ignored (the tracker
+    state is per-stream so real streams are unaffected).  With
+    ``--stage-frames`` each group's raw frames (and, on the pallas path,
+    their host-packed stem layouts) are staged in device HBM before the
+    timed loop — the production DMA-fed frame buffer analog — so the
+    reported fps measures sampler+step+metrics+CSV, not the dev tunnel.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from stereotracking_tpu.data import PrefetchIterator
+    from stereotracking_tpu.data import transforms as T
+    from stereotracking_tpu.parallel.multistream import MultiStreamTracker
+
+    S = args.streams
+    ms = MultiStreamTracker(model.cfg, n_streams=S,
+                            variables=model.variables,
+                            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                            input_shape=(oh, ow))
+
+    def to_raw(sample):
+        img_u8 = np.clip(np.rint(np.asarray(sample['img'], np.float32)),
+                         0, 255).astype(np.uint8)
+        disp_fixed = np.where(
+            sample['disp_mask'] > 0,
+            (sample['disp_postp'] * 16).astype(np.uint16),
+            np.uint16(65535)).astype(np.uint16)
+        return img_u8, disp_fixed
+
+    n_frames = 0
+    elapsed = 0.0
+    for g0 in range(0, len(videos), S):
+        group = videos[g0:g0 + S]
+        real = len(group)
+        group = group + [group[0]] * (S - real)     # dummy pad, ignored
+        frame_lists = [dataset.video_frames(v) for v in group]
+        names = [dataset.video_name(v) for v in group]
+        L = max(len(frame_lists[s]) for s in range(real))
+        prev_match = [{} for _ in range(real)]
+
+        def load_t(t):
+            samples = []
+            for fl in frame_lists:
+                s = dataset.load_frame(fl[min(t, len(fl) - 1)])
+                if f != 1.0:
+                    s = T.resize_keep_ratio(s, tuple(scale))
+                samples.append(s)
+            imgs, disps = zip(*(to_raw(s) for s in samples))
+            entry = [np.stack(imgs), np.stack(disps)]
+            if use_raw:
+                entry += list(MultiStreamTracker.pack_frames(
+                    entry[0], entry[1], oh, ow))
+            return samples, entry
+
+        def step(entry, t, sf):
+            if use_raw:
+                return ms.track_packed(entry[0], entry[1], entry[2],
+                                       entry[3], [t] * S, scale_factor=sf)
+            return ms.track_raw(entry[0], entry[1], [t] * S,
+                                scale_factor=sf)
+
+        if args.stage_frames:
+            staged = []
+            for t in range(L):
+                samples_t, entry = load_t(t)
+                staged.append((samples_t, [jax.block_until_ready(
+                    jnp.asarray(x)) for x in entry]))
+            sf0 = staged[0][0][0].get('scale_factor', (1.0, 1.0))
+            # compile + warm; the timed loop re-steps frame 0, whose
+            # frame_id==0 resets the per-stream track state in-program
+            jax.block_until_ready(step(staged[0][1], 0, sf0))
+            it = iter(staged)
+        else:
+            it = iter(PrefetchIterator(list(range(L)), load_t,
+                                       num_workers=4))
+
+        t_start = time.perf_counter()
+        for t, (samples, entry) in enumerate(it):
+            sf = samples[0].get('scale_factor', (1.0, 1.0))
+            res = step(entry, t, sf)
+            res_np = jax.tree.map(np.asarray, res)
+            for s in range(real):
+                if t >= len(frame_lists[s]):
+                    continue
+                n_frames += 1
+                sample = samples[s]
+                one = jax.tree.map(lambda x: x[s], res_np)
+                tv = one.track_valid
+                mot_metric.process_frame(
+                    names[s], t,
+                    gt_ids=sample['gt_instance_ids'],
+                    gt_bboxes=sample['gt_bboxes'],
+                    gt_depths=sample['gt_locations'][:, 2]
+                    if len(sample['gt_locations']) else None,
+                    pred_ids=one.track_ids[tv],
+                    pred_bboxes=one.track_bboxes[tv],
+                    pred_depths=one.track_depths[tv])
+                dv = one.det_valid
+                coco_metric.add_gt(sample['img_id'], sample['gt_bboxes'],
+                                   sample['gt_labels'])
+                coco_metric.add_dt(sample['img_id'], one.det_bboxes[dv],
+                                   one.det_scores[dv], one.det_labels[dv])
+                if csv_dump:
+                    csv_dump.append_frame(t, one)
+                if visualizer is not None and t % args.show_interval == 0:
+                    from PIL import Image
+                    from stereotracking_tpu.visualization import \
+                        draw_mot_errors
+                    vis_dir = os.path.join(args.show_dir, names[s])
+                    os.makedirs(vis_dir, exist_ok=True)
+                    img = sample['img'].astype(np.uint8)
+                    if args.show_errors:
+                        frame_img, prev_match[s] = draw_mot_errors(
+                            img, sample['gt_bboxes'],
+                            sample['gt_instance_ids'],
+                            one.track_bboxes[tv], one.track_ids[tv],
+                            prev_match[s])
+                    else:
+                        frame_img = visualizer.draw_gt_pred(
+                            img, sample['gt_bboxes'],
+                            sample['gt_instance_ids'],
+                            one.track_bboxes[tv], one.track_ids[tv],
+                            one.track_scores[tv])
+                    Image.fromarray(frame_img).save(
+                        os.path.join(vis_dir, f'{t:06d}.jpg'))
+        elapsed += time.perf_counter() - t_start
+        print(f'[test] group {[names[s] for s in range(real)]}: '
+              f'{L} steps done '
+              f'({n_frames / max(elapsed, 1e-9):.1f} pairs/s cum)',
+              flush=True)
+        logger.log(n_frames, dict(
+            group_frames=L * real,
+            fps=n_frames / max(elapsed, 1e-9)), prefix='eval')
+    return n_frames, elapsed
+
+
+def _finish(args, world, rank, mot_metric, coco_metric, n_frames, elapsed,
+            logger):
+    import json
+
     if args.aflink:
         from stereotracking_tpu.evaluation import AppearanceFreeLink
         from stereotracking_tpu.train.checkpoint import load_checkpoint
