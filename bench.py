@@ -114,6 +114,7 @@ def main():
         'stem_backend': os.environ.get('BENCH_STEM', 'auto'),
         'stage1_backend': os.environ.get('BENCH_STAGE1', 'auto'),
         'stage2_backend': os.environ.get('BENCH_STAGE2', 'auto'),
+        'stage3_backend': os.environ.get('BENCH_STAGE3', 'auto'),
     })
     quant = os.environ.get('BENCH_QUANT')  # '' | 'int8' | 'sim8'
     if quant:

@@ -35,6 +35,7 @@ model = dict(
     depth_backend='auto',
     stage1_backend='auto',
     stage2_backend='auto',
+    stage3_backend='auto',
     detector=dict(
         type='YOLODetector_Disparity_V1',
         backbone=dict(type='YOLOXCSPDarknet_Disparity_V1_MMYOLO',

@@ -80,10 +80,12 @@ def _resolve_stage_backends(model_cfg: Dict[str, Any]) -> Dict[str, str]:
     off; an explicit 'pallas' without its prerequisite is a config error —
     previously it was silently ignored (ADVICE r4)."""
     raw = {k: model_cfg.get(k, 'xla')
-           for k in ('stem_backend', 'stage1_backend', 'stage2_backend')}
+           for k in ('stem_backend', 'stage1_backend', 'stage2_backend',
+                     'stage3_backend')}
     out = {k: _resolve_backend(v) for k, v in raw.items()}
     for key, prereq in (('stage1_backend', 'stem_backend'),
-                        ('stage2_backend', 'stage1_backend')):
+                        ('stage2_backend', 'stage1_backend'),
+                        ('stage3_backend', 'stage2_backend')):
         if out[key] == 'pallas' and out[prereq] != 'pallas':
             if raw[key] == 'auto':
                 out[key] = 'xla'

@@ -145,6 +145,23 @@ class CSPDarknetDual(nn.Module):
         q = None if train else self.quant   # int8 is an inference mode
         wf, df = self.widen_factor, self.deepen_factor
         outs = []
+        if 'stage3_out' in x:
+            # stages 1-3 evaluated by the fused pallas kernels
+            # (ops/stage{1,2}_pallas.py: pallas_stage3_out reuses the
+            # generic stage-2 kernel on the stage3 subtree); 'stage2_out'
+            # rides along for the neck's C3 tap.  Stage 4 resumes on the
+            # folded stage-3 tensor (fold_consume entry conv).
+            assert tuple(self.out_indices) == (2, 3, 4) and not self.out_fd
+            from ..ops.stage2_pallas import unfold_w
+            outs.append(unfold_w(x['stage2_out'][None].astype(self.dtype)))
+            y = x['stage3_out'][None].astype(self.dtype)
+            outs.append(unfold_w(y))
+            _, out_ch, n, ident, spp = P5_ARCH[3]
+            y = _Stage(widen(out_ch, wf), make_round(n, df), ident, spp,
+                       self.spp_kernel_sizes, dtype=self.dtype, quant=q,
+                       name='stage4')(y, train, fold_in=True)
+            outs.append(y)
+            return tuple(outs)
         if 'stage2_out' in x:
             # stages 1 AND 2 were evaluated by the fused pallas kernels
             # (ops/stage1_pallas.py + ops/stage2_pallas.py) from the SAME

@@ -74,6 +74,7 @@ def detector_predict(variables, module: YOLOXDetector, inputs: dict,
                      scale_factor: Tuple[float, float] = (1.0, 1.0),
                      stage1_backend: str = 'xla',
                      stage2_backend: str = 'xla',
+                     stage3_backend: str = 'xla',
                      ) -> NMSResult:
     """Single-image predict: forward + decode + NMS + rescale.
 
@@ -87,7 +88,7 @@ def detector_predict(variables, module: YOLOXDetector, inputs: dict,
         # pallas stage kernels compute bf16 from canonical params and would
         # silently bypass quant (ADVICE r4) — resume the XLA path at stage 1
         # so BENCH_QUANT / int8 configs measure what they claim.
-        stage1_backend = stage2_backend = 'xla'
+        stage1_backend = stage2_backend = stage3_backend = 'xla'
     if 'img_stem_pack' in inputs:
         # host-packed frames: evaluate the Focus stems with the pallas
         # kernel (ops/stem_pallas.py) and hand the s2d(2)-layout
@@ -113,12 +114,23 @@ def detector_predict(variables, module: YOLOXDetector, inputs: dict,
                 # fused stage 2 (ops/stage2_pallas.py): entry conv + CSP
                 # chain in VMEM on the W-folded grid; the backbone resumes
                 # at stage 3 (fold_consume)
-                from ..ops.stage2_pallas import pallas_stage2_out
+                from ..ops.stage2_pallas import (pallas_stage2_out,
+                                                pallas_stage3_out)
                 y2 = pallas_stage2_out(
                     variables['params']['backbone'],
                     variables['batch_stats']['backbone'], y1,
                     interpret=interp)
-                inputs = {**inputs, 'stage2_out': y2}
+                if stage3_backend == 'pallas':
+                    # fused stage 3: the SAME generic kernel on the stage3
+                    # subtree; stage 4 resumes on the folded tensor and
+                    # 'stage2_out' rides along for the neck's C3 tap
+                    y3 = pallas_stage3_out(
+                        variables['params']['backbone'],
+                        variables['batch_stats']['backbone'], y2,
+                        interpret=interp)
+                    inputs = {**inputs, 'stage2_out': y2, 'stage3_out': y3}
+                else:
+                    inputs = {**inputs, 'stage2_out': y2}
             else:
                 inputs = {**inputs, 'stage1_out': y1}
         else:

@@ -77,6 +77,12 @@ class MOTConfig(NamedTuple):
                                    # stage1_backend='pallas'; equal up to
                                    # bf16 rounding
                                    # (tests/test_stage2_pallas.py)
+    stage3_backend: str = 'xla'    # 'pallas' = fused stage-3 kernel: the
+                                   # SAME generic kernel/weight remap as
+                                   # stage 2 on the stage3 subtree
+                                   # (ops/stage2_pallas.pallas_stage3_out);
+                                   # stage 4 resumes fold_consume.
+                                   # Requires stage2_backend='pallas'
 
 
 class FrameResult(NamedTuple):
@@ -110,7 +116,8 @@ def predict_frame(variables, module: YOLOXDetector,
     """
     det = detector_predict(variables, module, inputs, scale_factor,
                            stage1_backend=cfg.stage1_backend,
-                           stage2_backend=cfg.stage2_backend)
+                           stage2_backend=cfg.stage2_backend,
+                           stage3_backend=cfg.stage3_backend)
 
     disp = inputs['disp_postp'][0, :, :, 0]
     if cfg.depth_mode == 'corner_guided' and cfg.disp_fixed_point:

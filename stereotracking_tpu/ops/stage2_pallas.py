@@ -331,6 +331,24 @@ def pallas_stage2_out(backbone_params, backbone_stats, stage1_out,
                               band=band)
 
 
+def pallas_stage3_out(backbone_params, backbone_stats, stage2_out,
+                      eps: float = BN_EPS, interpret: bool = False,
+                      band: int = 4) -> jnp.ndarray:
+    """Fused W-folded stage-3 output.
+
+    Stage 3 has exactly the stage-2 structure one level down (stride-2
+    entry conv + CSP chain, no SPP; csp_darknet_disparity_v1.py:94-154) and
+    its input is the stage-2 kernel's own W-folded activations, so the
+    SAME generic kernel + weight remap run it — only the parameter subtree
+    differs (``stage='stage3'``).  Output feeds ``CSPDarknetDual``'s
+    ``stage3_out`` entry (stage 4 resumes with its fold_consume conv; the
+    neck's C4 tap unfolds with one reshape)."""
+    wts = stage2_fused_weights(backbone_params, backbone_stats,
+                               stage='stage3', eps=eps)
+    return stage2_fold_pallas(stage2_out, wts, interpret=interpret,
+                              band=band)
+
+
 def unfold_w(folded: jnp.ndarray) -> jnp.ndarray:
     """W-folded (..., H, W2, 2C) -> standard (..., H, 2*W2, C): lane
     v*C + c at cell k is actual column 2k + v (one XLA reshape)."""

@@ -42,7 +42,8 @@ def main():
     from stereotracking_tpu.models.preprocessor import padded_shape
     from stereotracking_tpu.ops.nms import batched_nms, multiclass_candidates
     from stereotracking_tpu.ops.stage1_pallas import pallas_stage1_out
-    from stereotracking_tpu.ops.stage2_pallas import pallas_stage2_out
+    from stereotracking_tpu.ops.stage2_pallas import (pallas_stage2_out,
+                                                      pallas_stage3_out)
     from stereotracking_tpu.ops.stem_pallas import pallas_stem_outputs
     from stereotracking_tpu.models.yolox_head import decode_predictions
     from stereotracking_tpu.parallel.multistream import MultiStreamTracker
@@ -53,7 +54,8 @@ def main():
     cfg = build_mot_config({'type': 'OCSORT_Disparity',
                             'depth_backend': 'auto', 'stem_backend': 'auto',
                             'stage1_backend': 'auto',
-                            'stage2_backend': 'auto'})
+                            'stage2_backend': 'auto',
+                            'stage3_backend': 'auto'})
     ms = MultiStreamTracker(cfg, n_streams=n, dtype=jnp.bfloat16,
                             input_shape=(oh, ow))
     variables, module = ms.variables, ms.module
@@ -75,7 +77,16 @@ def main():
         y1 = pallas_stage1_out(bp, bs, so, dso)
         return pallas_stage2_out(bp, bs, y1)
 
+    def stage3_from(i, d):
+        y2 = stage2_from(i, d)
+        return y2, pallas_stage3_out(bp, bs, y2)
+
     def fwd_from(i, d):
+        if use_stage3:
+            y2, y3 = stage3_from(i, d)
+            return module.apply(variables,
+                                {'stage2_out': y2, 'stage3_out': y3},
+                                train=False)
         return module.apply(variables, {'stage2_out': stage2_from(i, d)},
                             train=False)
 
@@ -90,10 +101,12 @@ def main():
                            cfg.detector.pre_nms_top_k,
                            cfg.detector.max_per_img)
 
+    use_stage3 = os.environ.get('MICRO_STAGE3', '1') == '1'
     slices = [
         ('stems', lambda i, d: stems1(i, d)),
         ('stage1', lambda i, d: pallas_stage1_out(bp, bs, *stems1(i, d))),
         ('stage2', stage2_from),
+    ] + ([('stage3', stage3_from)] if use_stage3 else []) + [
         ('forward', fwd_from),
         ('decode_nms', decode_from),
     ]
