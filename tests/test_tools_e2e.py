@@ -155,3 +155,12 @@ def test_tools_test_multistream_eval(disk_dataset, tmp_path):
         if k == 'fps':
             continue
         assert m_seq.get(k) == m_ms.get(k), (k, m_seq.get(k), m_ms.get(k))
+    # the multistream loop composed with the production pallas kernel path
+    # (track_packed; interpret mode on CPU) keeps the same metrics too
+    m_pl = run('ms_pallas', [
+        '--streams', '2', '--stage-frames', '--cfg-options',
+        'model.stem_backend=pallas', 'model.stage1_backend=pallas',
+        'model.stage2_backend=pallas', 'model.stage3_backend=pallas',
+        'model.depth_backend=pallas'])
+    for k in ('MOTA', 'IDF1', 'IDSW', 'CLR_TP', 'CLR_FP', 'CLR_FN'):
+        assert m_seq.get(k) == m_pl.get(k), (k, m_seq.get(k), m_pl.get(k))
