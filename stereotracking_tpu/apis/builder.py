@@ -97,6 +97,17 @@ def _resolve_stage_backends(model_cfg: Dict[str, Any]) -> Dict[str, str]:
     return out
 
 
+def _resolve_pack_backend(val: str) -> str:
+    """'auto' -> pack raw frames on device (MXU selection matmuls) on real
+    TPU — the sustained serving winner where host cores are scarce — and on
+    host elsewhere."""
+    if val == 'auto':
+        import jax
+        return 'device' if jax.default_backend() == 'tpu' else 'host'
+    assert val in ('host', 'device'), val
+    return val
+
+
 def build_mot_config(model_cfg: Dict[str, Any]) -> MOTConfig:
     kind = _strip(model_cfg.get('type', 'OCSORT_Disparity'))
     assert kind in ('OCSORT_Disparity', 'OCSORT'), kind
@@ -122,6 +133,8 @@ def build_mot_config(model_cfg: Dict[str, Any]) -> MOTConfig:
         # outputs bit-identical to the XLA path); stem: host-packed Focus
         # kernel, reachable via the raw-frame entry points.
         depth_backend=_resolve_backend(model_cfg.get('depth_backend', 'xla')),
+        pack_backend=_resolve_pack_backend(
+            model_cfg.get('pack_backend', 'host')),
         **_resolve_stage_backends(model_cfg),
     )
 

@@ -83,6 +83,16 @@ class MOTConfig(NamedTuple):
                                    # (ops/stage2_pallas.pallas_stage3_out);
                                    # stage 4 resumes fold_consume.
                                    # Requires stage2_backend='pallas'
+    pack_backend: str = 'host'     # where the stem-layout pack of raw
+                                   # frames happens for the pallas-stem
+                                   # path: 'host' = C++ SIMD packer in the
+                                   # loader (csrc/stem_pack.cpp), 'device'
+                                   # = MXU selection-matmul pack inside the
+                                   # per-frame program (ops/stem_pallas.
+                                   # stem_pack_device, bit-identical
+                                   # values) — frees the host cores for
+                                   # decode in sustained serving.  Only
+                                   # meaningful with stem_backend='pallas'
 
 
 class FrameResult(NamedTuple):
@@ -211,6 +221,15 @@ def predict_frame_raw(variables, module: YOLOXDetector,
     of the stem activation (tests/test_stem_pallas.py)."""
     from .preprocessor import preprocess_frame_pure
     inputs = preprocess_frame_pure(img_u8, disp_u16, out_h, out_w, depth_raw)
+    if (img_pack is None and cfg.stem_backend == 'pallas'
+            and cfg.pack_backend == 'device'):
+        # device-side pack (MXU selection matmuls, values bit-identical to
+        # the host packer): the raw-frame entry points reach the full
+        # pallas kernel path with zero host-side layout work
+        from ..ops.stem_pallas import (stem_pack_device,
+                                       stem_pack_disp_device)
+        img_pack = stem_pack_device(img_u8, out_h, out_w)
+        disp_pack = stem_pack_disp_device(disp_u16, out_h, out_w)
     if img_pack is not None:
         inputs = {**inputs, 'img_stem_pack': img_pack,
                   'disp_stem_pack': disp_pack}

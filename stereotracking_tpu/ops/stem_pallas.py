@@ -190,6 +190,67 @@ def stem_pack_xla(img: jnp.ndarray, wq: int = None,
     return jnp.pad(v, ((0, 0), (0, 0), (0, wq - wq0)))
 
 
+def _pack_select_matrix(wpad: int, wq: int, wq0: int) -> jnp.ndarray:
+    """(W+4, 4*WQ) one-hot selection matrix for the stride-4 phase pack:
+    column n = s*WQ + q selects input x = 4q + s (zero for q >= WQ0).
+
+    Strided access along the lane dimension is the one thing the TPU
+    memory system cannot do — but a one-hot matmul on the MXU can: each
+    output lane is an exact dot product with a single 1.  Same trick as
+    the depth kernel's rank compaction (ops/depth_pallas.py)."""
+    n = jnp.arange(4 * wq)
+    s, q = n // wq, n % wq
+    x = jnp.arange(wpad)
+    sel = (x[:, None] == 4 * q[None, :] + s[None, :]) & (q[None, :] < wq0)
+    return sel.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=('out_h', 'out_w', 'wq'))
+def stem_pack_device(img_u8: jnp.ndarray, out_h: int, out_w: int,
+                     wq: int = None) -> jnp.ndarray:
+    """Device-side image packer via MXU selection matmuls: (H, W, 3) uint8
+    raw frame -> (H'/4+1, 48, WQ) bf16, bit-identical values to the host
+    packer (csrc/stem_pack.cpp) after its uint8->bf16 cast.
+
+    The stride-4 lane selection rides the MXU (one-hot matmul, exact in
+    bf16: every output element is x*1 summed with zeros), so packing costs
+    ~26 GFLOP/frame of matmul instead of host CPU time — on-device packing
+    frees the host for decode in the sustained serving loop."""
+    h, w, _ = img_u8.shape
+    wq = wq or stem_pack_wq(out_w)
+    wpad, wq0 = out_w + 4, (out_w + 4) // 4
+    hq = (out_h + 4) // 4
+    x = jnp.pad(img_u8.astype(jnp.bfloat16),
+                ((2, 2 + out_h - h), (2, 2 + out_w - w), (0, 0)))
+    sel = _pack_select_matrix(wpad, wq, wq0)
+    y = jnp.einsum('hwc,wn->chn', x, sel,
+                   preferred_element_type=jnp.bfloat16)
+    # y[c, h', s*WQ+q] -> out[g, r*12 + s*3 + c, q]   (h' = 4g + r)
+    y = y.reshape(3, hq, 4, 4, wq).transpose(1, 2, 3, 0, 4)
+    return y.reshape(hq, 48, wq)
+
+
+@functools.partial(jax.jit, static_argnames=('out_h', 'out_w', 'wq'))
+def stem_pack_disp_device(disp_u16: jnp.ndarray, out_h: int, out_w: int,
+                          wq: int = None) -> jnp.ndarray:
+    """Device-side disparity packer: (H, W) uint16 SGBM/16 raw disparity ->
+    (H'/4+1, 16, WQ) bf16 disp_postp (65535 -> 0, /16), identical layout
+    and rounding to ``stem_pack_disp_bf16_batch`` (round-to-nearest-even
+    both here and in csrc/stem_pack.cpp:42-48)."""
+    h, w = disp_u16.shape
+    wq = wq or stem_pack_wq(out_w)
+    wpad, wq0 = out_w + 4, (out_w + 4) // 4
+    hq = (out_h + 4) // 4
+    d = jnp.where(disp_u16 == jnp.uint16(65535), jnp.uint16(0), disp_u16)
+    d = (d.astype(jnp.float32) / 16.0).astype(jnp.bfloat16)
+    x = jnp.pad(d, ((2, 2 + out_h - h), (2, 2 + out_w - w)))
+    sel = _pack_select_matrix(wpad, wq, wq0)
+    y = jnp.einsum('hw,wn->hn', x, sel,
+                   preferred_element_type=jnp.bfloat16)
+    y = y.reshape(hq, 4, 4, wq)
+    return y.reshape(hq, 16, wq)
+
+
 def pallas_stem_outputs(backbone_params, backbone_stats, img_pack,
                         disp_pack, wout: int, eps: float = 1e-3,
                         interpret: bool = False):

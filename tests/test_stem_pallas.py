@@ -157,3 +157,56 @@ def test_predict_frame_packed_matches_raw():
         jnp.asarray(disp), jnp.int32(0), cfg, h, w,
         img_pack=jnp.asarray(ip[0]), disp_pack=jnp.asarray(dp[0]))
     assert np.asarray(res_pk.det_valid).shape[0] > 0
+
+
+def test_device_packers_bit_identical_to_host():
+    """MXU selection-matmul packers (stem_pack_device/_disp_device) must be
+    bit-identical to the C++ SIMD packer — including the /16 bf16
+    round-to-nearest-even (csrc/stem_pack.cpp:42-48) and the pad-to-
+    (out_h, out_w) the loader applies before packing."""
+    from stereotracking_tpu.ops.stem_pallas import (stem_pack_device,
+                                                    stem_pack_disp_device)
+    from stereotracking_tpu.parallel.multistream import MultiStreamTracker
+    rng = np.random.RandomState(3)
+    h, w = 116, 212            # not /16 -> loader pads to 128x224
+    oh, ow = 128, 224
+    img = rng.randint(0, 256, (h, w, 3), np.uint8)
+    disp = rng.randint(0, 4000, (h, w)).astype(np.uint16)
+    disp[5:9, 7:20] = 65535    # invalid-pixel sentinel -> 0
+    ip, dp = MultiStreamTracker.pack_frames(img[None], disp[None], oh, ow)
+    gi = np.asarray(stem_pack_device(jnp.asarray(img), oh, ow))
+    gd = np.asarray(stem_pack_disp_device(jnp.asarray(disp), oh, ow))
+    np.testing.assert_array_equal(np.asarray(ip[0]).astype(np.float32),
+                                  gi.astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(dp[0]).view(np.uint16),
+                                  gd.view(np.uint16))
+
+
+def test_predict_frame_device_pack_equals_host_pack():
+    """pack_backend='device' inside predict_frame_raw must reproduce the
+    explicitly host-packed call exactly (packs are bit-identical, so the
+    whole frame program is)."""
+    from stereotracking_tpu.models.mot import MOTConfig, predict_frame_raw
+    from stereotracking_tpu.models import tracker as trk
+    from stereotracking_tpu.parallel.multistream import MultiStreamTracker
+
+    h, w = 64, 96
+    cfg = MOTConfig(stem_backend='pallas', pack_backend='device')
+    ms = MultiStreamTracker(cfg, n_streams=1, input_shape=(h, w))
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, (h, w, 3), np.uint8)
+    disp = rng.randint(16, 1600, (h, w), np.uint16)
+    state0 = trk.init_state(cfg.tracker)
+
+    ip, dp = MultiStreamTracker.pack_frames(img[None], disp[None], h, w)
+    _, res_host = predict_frame_raw(
+        ms.variables, ms.module, state0, jnp.asarray(img),
+        jnp.asarray(disp), jnp.int32(0), cfg, h, w,
+        img_pack=jnp.asarray(ip[0]), disp_pack=jnp.asarray(dp[0]))
+    _, res_dev = predict_frame_raw(
+        ms.variables, ms.module, state0, jnp.asarray(img),
+        jnp.asarray(disp), jnp.int32(0), cfg, h, w)
+    np.testing.assert_array_equal(np.asarray(res_host.det_valid),
+                                  np.asarray(res_dev.det_valid))
+    np.testing.assert_allclose(np.asarray(res_host.det_bboxes, np.float32),
+                               np.asarray(res_dev.det_bboxes, np.float32))
