@@ -35,6 +35,9 @@ model = dict(
     depth_backend='auto',
     stage1_backend='auto',
     stage2_backend='auto',
+    # stage-3 'auto' resolves to XLA everywhere: the fused kernel measured
+    # 3.7 ms/step SLOWER than XLA's stage3+4+neck fusion on the chip
+    # (r5 A/B, apis/builder._resolve_stage_backends)
     stage3_backend='auto',
     # raw frames are packed for the pallas stems ON DEVICE (MXU
     # selection matmuls, bit-identical to the C++ host packer) on real

@@ -83,6 +83,17 @@ def _resolve_stage_backends(model_cfg: Dict[str, Any]) -> Dict[str, str]:
            for k in ('stem_backend', 'stage1_backend', 'stage2_backend',
                      'stage3_backend')}
     out = {k: _resolve_backend(v) for k, v in raw.items()}
+    if raw['stage3_backend'] == 'auto':
+        # RETIRED by chip measurement (r5, tools/microbench_serving.py
+        # MICRO_STAGE3=0/1 A/B on v5e at 1080p x 8): the fused stage-3
+        # kernel costs 3.86 ms and the remaining forward 6.06 ms, while
+        # XLA runs stage3+stage4+neck+head from stage2_out in 6.31 ms —
+        # a 3.7 ms/step net regression.  Stage 3's 1x1-heavy CSP chain is
+        # HBM-bound (ARCHITECTURE.md roofline) and XLA's cross-stage
+        # fusion beats the banded kernel's extra fold/unfold traffic at
+        # this 4x-smaller grid.  Explicit 'pallas' still honors the
+        # request (microbench / equivalence tests).
+        out['stage3_backend'] = 'xla'
     for key, prereq in (('stage1_backend', 'stem_backend'),
                         ('stage2_backend', 'stage1_backend'),
                         ('stage3_backend', 'stage2_backend')):

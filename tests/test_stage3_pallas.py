@@ -123,7 +123,9 @@ def test_builder_stage3_backend_key():
     with np.testing.assert_raises(ValueError):
         build_mot_config({'type': 'OCSORT_Disparity',
                           'stage3_backend': 'pallas'})
-    # 'auto' downgrades cleanly off-TPU
+    # 'auto' resolves to xla EVERYWHERE: the fused stage-3 kernel was
+    # retired by the r5 chip A/B (3.7 ms/step net regression vs XLA's
+    # stage3+4+neck fusion — apis/builder._resolve_stage_backends)
     assert build_mot_config({'type': 'OCSORT_Disparity',
                              'stage3_backend': 'auto'}).stage3_backend \
-        in ('xla', 'pallas')
+        == 'xla'
