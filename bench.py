@@ -177,11 +177,14 @@ def main():
             return ms.track_raw_chunk(chunked[0], chunked[1], fids)
 
         res = run_chunk(0)
-        jax.block_until_ready(res)
+        # value fetch: through the dev tunnel block_until_ready can return
+        # before device completion (see the D2H note in the timed loop) —
+        # a leftover warmup would otherwise drain inside the timed window
+        _ = float(np.asarray(res.track_valid).sum())
     else:
         res = step_fn(staged[0], [0] * n_streams)
         res = step_fn(staged[1], [1] * n_streams)
-        jax.block_until_ready(res)
+        _ = float(np.asarray(res.track_valid).sum())
 
     # optional profiler trace (SURVEY.md section 5: jax.profiler wiring);
     # BENCH_PROFILE=<dir> writes an xplane trace of the timed loop

@@ -142,7 +142,15 @@ def main():
 
     state, losses = step_fn(state, staged[0])        # compile + frame 0
     state, losses = step_fn(state, staged[1])
-    jax.block_until_ready(losses['loss'])
+    # VALUE fetches, not block_until_ready: through the dev tunnel
+    # block_until_ready can return before device completion (bench.py's
+    # documented D2H gotcha), and with async remote compile the warmup's
+    # whole compile+execute then drains INSIDE the timed loop — measured
+    # 62 s/"step" for a 193 ms step before this fix.  Fetch both a loss
+    # scalar and a param leaf so every warmup output is truly done.
+    _ = float(losses['loss'])
+    _ = float(np.asarray(
+        jax.tree.leaves(state.params)[0]).ravel()[0])
 
     t0 = time.perf_counter()
     for i in range(n_steps):
