@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -122,6 +123,9 @@ def inference_mot(model: OCSORTDisparity, img: np.ndarray,
             depth_raw=None if depth is None else
             jnp.asarray(sample['depth_postp']))
         res = model.track(inputs, frame_id, scale_factor=sf)
+    # ONE batched D2H transfer: per-array np.asarray pays a ~28 ms tunnel
+    # round trip each on the dev TPU (measured in tools/test.py's loop)
+    res = jax.device_get(res)
     dv = np.asarray(res.det_valid)
     tv = np.asarray(res.track_valid)
     return dict(

@@ -219,6 +219,9 @@ def main():
                 res = model.track(inputs, local_f, scale_factor=sf)
             n_frames += 1
 
+            # ONE batched D2H transfer (per-array np.asarray pays a
+            # ~28 ms tunnel round trip EACH — see _multistream_eval)
+            res = jax.device_get(res)
             tv = np.asarray(res.track_valid)
             mot_metric.process_frame(
                 vname, local_f,
@@ -343,18 +346,25 @@ def _multistream_eval(args, model, dataset, videos, scale, f, oh, ow,
                     jnp.asarray(x)) for x in entry]))
             sf0 = staged[0][0][0].get('scale_factor', (1.0, 1.0))
             # compile + warm; the timed loop re-steps frame 0, whose
-            # frame_id==0 resets the per-stream track state in-program
-            jax.block_until_ready(step(staged[0][1], 0, sf0))
+            # frame_id==0 resets the per-stream track state in-program.
+            # VALUE fetch, not block_until_ready: through the dev tunnel
+            # the latter can return before device completion and the
+            # compile would drain inside the timed loop (bench gotcha)
+            _ = jax.device_get(step(staged[0][1], 0, sf0).track_valid)
             it = iter(staged)
         else:
             it = iter(PrefetchIterator(list(range(L)), load_t,
                                        num_workers=4))
 
-        t_start = time.perf_counter()
-        for t, (samples, entry) in enumerate(it):
-            sf = samples[0].get('scale_factor', (1.0, 1.0))
-            res = step(entry, t, sf)
-            res_np = jax.tree.map(np.asarray, res)
+        def consume(t, samples, res):
+            nonlocal n_frames
+            # ONE batched D2H transfer: a per-array np.asarray costs a
+            # full ~28 ms tunnel round trip EACH (12 arrays = ~330 ms,
+            # measured — it was the whole eval-loop budget); device_get
+            # moves the pytree in one transfer (~33 ms), and the
+            # one-step-behind pipeline below overlaps it with the next
+            # device step.
+            res_np = jax.device_get(res)
             for s in range(real):
                 if t >= len(frame_lists[s]):
                     continue
@@ -399,6 +409,17 @@ def _multistream_eval(args, model, dataset, videos, scale, f, oh, ow,
                             one.track_scores[tv])
                     Image.fromarray(frame_img).save(
                         os.path.join(vis_dir, f'{t:06d}.jpg'))
+
+        t_start = time.perf_counter()
+        pending = None            # one step behind: fetch t-1 while the
+        for t, (samples, entry) in enumerate(it):   # device runs step t
+            sf = samples[0].get('scale_factor', (1.0, 1.0))
+            res = step(entry, t, sf)
+            if pending is not None:
+                consume(*pending)
+            pending = (t, samples, res)
+        if pending is not None:
+            consume(*pending)
         elapsed += time.perf_counter() - t_start
         print(f'[test] group {[names[s] for s in range(real)]}: '
               f'{L} steps done '
