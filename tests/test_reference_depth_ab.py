@@ -485,6 +485,15 @@ def _run_ours_video(world, monkeypatch):
         reuse_det_depth=False)     # reference re-extracts (:100-104)
 
     state = trk.init_state(cfg.tracker)
+    # jit the whole per-frame program like production does (model.track):
+    # eagerly-dispatched lax.cond compiles a standalone executable whose
+    # persistent-cache READ segfaults jaxlib late in a long pytest process
+    # (reproducible at this fixture in the full suite; fine in isolation)
+    import functools
+
+    import jax
+    step = jax.jit(functools.partial(
+        mot_mod.predict_frame, {}, None, cfg=cfg))
     outs = []
     for f in range(world.n_frames):
         fr = world.frames[f]
@@ -507,8 +516,7 @@ def _run_ours_video(world, monkeypatch):
             'inject_labels': jnp.zeros((ND,), jnp.int32),
             'inject_valid': jnp.asarray(valid),
         }
-        state, res = mot_mod.predict_frame(
-            {}, None, state, inputs, jnp.int32(f), cfg)
+        state, res = step(state, inputs, jnp.int32(f))
         keep = np.asarray(res.track_valid)
         outs.append({
             'ids': np.asarray(res.track_ids)[keep],
